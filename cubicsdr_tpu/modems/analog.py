@@ -1,0 +1,425 @@
+"""Analog modem bank: FM, NBFM, FM-stereo, AM, DSB, USB, LSB, CW, IQ.
+
+Parity map (all ref paths under src/modules/modem/analog/):
+  FM / NBFM : freqdem kf=0.5 (ModemFM.cpp:7,36; ModemNBFM.cpp)
+  FMStereo  : freqdem + 19 kHz pilot recovery + 38 kHz DSB subcarrier
+              + 0.568*(M -/+ S) matrix + optional de-emphasis + 16 kHz LPF
+              (ModemFMStereo.cpp:100-300). TPU re-design: the per-sample PLL
+              is replaced by *pilot squaring* — an analytic pilot bandpass
+              whose normalized square is exactly the 38 kHz reference; no
+              sequential loop, same recovered audio.
+  AM        : envelope + 51-tap FIR DC blocker, autoGain (ModemAM.cpp:7-48)
+  DSB       : suppressed-carrier product detect; block-level squaring carrier
+              recovery replaces liquid ampmodem's PLL (ModemDSB.cpp)
+  USB / LSB : one-sided complex FIR bandpass + Re{.} replaces the quarter-rate
+              shift + IIR halfband + firhilbf chain (ModemUSB.cpp:7-60)
+  CW        : beep-frequency NCO offset + Re{.}, gain/autoGain (ModemCW.cpp)
+  IQ        : stereo passthrough (imag, real) (ModemIQ.cpp:31-57)
+
+Each kit is a StreamOp: (state, iq[..., L]) -> (state, audio[..., C, Lout]).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cubicsdr_tpu.modems.base import (
+    Modem, ModemArg, register_modem, MIN_BANDWIDTH, DEFAULT_AUDIO_RATE)
+from cubicsdr_tpu.ops import design
+from cubicsdr_tpu.ops.agc import AutoGain
+from cubicsdr_tpu.ops.fir import FirFilter
+from cubicsdr_tpu.ops.freqdem import FreqDem
+from cubicsdr_tpu.ops.iir import FirstOrderIIR
+from cubicsdr_tpu.ops.nco import NCOMixer
+from cubicsdr_tpu.ops.resample import RationalResampler, design_ratio
+from cubicsdr_tpu.stream.op import StreamOp
+
+
+def _audio_ratio(sample_rate: int, audio_rate: int):
+    return design_ratio(audio_rate / sample_rate, max_denominator=500)
+
+
+class AnalogKit(StreamOp):
+    """Shared analog plumbing: demod -> (autoGain) -> audio resample.
+
+    Mirrors ModemAnalog::buildKit/buildAudioOutput (ref: ModemAnalog.cpp:21-33,
+    67-93): msresamp_rrrf at 60 dB becomes a RationalResampler; autoGain is
+    the same double-EMA of the pre-gain ceiling.
+    """
+
+    def __init__(self, demod: StreamOp, sample_rate: int, audio_rate: int,
+                 auto_gain: bool, batch_shape: tuple = (),
+                 post: StreamOp | None = None):
+        self.demod = demod
+        P, Q = _audio_ratio(sample_rate, audio_rate)
+        self.P, self.Q = P, Q
+        self.resampler = RationalResampler(P, Q, batch_shape=batch_shape,
+                                           dtype=jnp.float32)
+        self.agc = AutoGain(batch_shape=batch_shape) if auto_gain else None
+        self.post = post
+        self.audio_rate = audio_rate
+
+    def init_state(self):
+        return (self.demod.init_state(),
+                self.agc.init_state() if self.agc else (),
+                self.resampler.init_state(),
+                self.post.init_state() if self.post else ())
+
+    def apply(self, state, x):
+        sd, sa, sr, sp = state
+        sd, a = self.demod.apply(sd, x)
+        if self.agc:
+            sa, a = self.agc.apply(sa, a)
+        sr, a = self.resampler.apply(sr, a)
+        if self.post:
+            sp, a = self.post.apply(sp, a)
+        return (sd, sa, sr, sp), a[..., None, :]   # mono channel axis
+
+
+class _FnDemod(StreamOp):
+    """Stateless per-block demod function wrapper."""
+
+    def __init__(self, fn):
+        self.fn = fn
+
+    def apply(self, state, x):
+        return state, self.fn(x)
+
+
+class _ChainDemod(StreamOp):
+    def __init__(self, *ops):
+        self.ops = ops
+
+    def init_state(self):
+        return tuple(op.init_state() for op in self.ops)
+
+    def apply(self, state, x):
+        out = []
+        for op, s in zip(self.ops, state):
+            s, x = op.apply(s, x)
+            out.append(s)
+        return tuple(out), x
+
+
+class _AnalogModem(Modem):
+    auto_gain = False
+
+    def block_multiple(self, sample_rate, audio_rate=DEFAULT_AUDIO_RATE):
+        _, Q = _audio_ratio(sample_rate, audio_rate)
+        return Q
+
+    def _demod_op(self, sample_rate, audio_rate, batch_shape):
+        raise NotImplementedError
+
+    def build_kit(self, sample_rate, audio_rate=DEFAULT_AUDIO_RATE,
+                  batch_shape=()):
+        return AnalogKit(self._demod_op(sample_rate, audio_rate, batch_shape),
+                         sample_rate, audio_rate, self.auto_gain, batch_shape)
+
+
+@register_modem
+class ModemFM(_AnalogModem):
+    name = "FM"
+    default_sample_rate = 200000
+
+    def _demod_op(self, sample_rate, audio_rate, batch_shape):
+        return FreqDem(kf=0.5, batch_shape=batch_shape)
+
+
+@register_modem
+class ModemNBFM(_AnalogModem):
+    name = "NBFM"
+    default_sample_rate = 12500
+
+    def _demod_op(self, sample_rate, audio_rate, batch_shape):
+        return FreqDem(kf=0.5, batch_shape=batch_shape)
+
+
+class _EnvelopeDC(StreamOp):
+    """|IQ| envelope -> FIR DC blocker (delta minus narrow lowpass), the AM
+    detector (ref: ModemAM.cpp:7-10,40-48: 25-wide dc blocker, 30 dB)."""
+
+    def __init__(self, batch_shape=()):
+        n = 51
+        lp = design.kaiser_lowpass(n, 0.004, 30.0)
+        lp = lp / lp.sum()
+        h = -lp
+        h[(n - 1) // 2] += 1.0
+        self.fir = FirFilter(h, batch_shape, dtype=jnp.float32)
+
+    def init_state(self):
+        return self.fir.init_state()
+
+    def apply(self, state, x):
+        return self.fir.apply(state, jnp.abs(x).astype(jnp.float32))
+
+
+@register_modem
+class ModemAM(_AnalogModem):
+    name = "AM"
+    default_sample_rate = 6000
+    auto_gain = True
+
+    def uses_signal_output(self):
+        return True
+
+    def _demod_op(self, sample_rate, audio_rate, batch_shape):
+        return _EnvelopeDC(batch_shape)
+
+
+class _DSBDemod(StreamOp):
+    """Suppressed-carrier coherent detect with block squaring carrier recovery:
+    phi2 = EMA of arg(mean(x^2)); y = Re{x * exp(-j*phi2/2)}."""
+
+    def __init__(self, batch_shape=(), rate=0.2):
+        self.batch_shape = batch_shape
+        self.rate = rate
+
+    def init_state(self):
+        return jnp.zeros((*self.batch_shape, 2), jnp.float32)  # smoothed c2 vec
+
+    def apply(self, c2, x):
+        m2 = jnp.mean(x * x, axis=-1)
+        vec = jnp.stack([m2.real, m2.imag], axis=-1)
+        c2 = c2 + (vec - c2) * self.rate
+        phi2 = jnp.arctan2(c2[..., 1], c2[..., 0])
+        rot = jnp.exp(-0.5j * phi2)[..., None]
+        return c2, (x * rot).real.astype(jnp.float32)
+
+
+@register_modem
+class ModemDSB(_AnalogModem):
+    name = "DSB"
+    default_sample_rate = 5400
+    auto_gain = True
+
+    def uses_signal_output(self):
+        return True
+
+    def _demod_op(self, sample_rate, audio_rate, batch_shape):
+        return _DSBDemod(batch_shape)
+
+
+class _SSBDemod(StreamOp):
+    def __init__(self, sample_rate, upper: bool, batch_shape=()):
+        taps_len = min(257, design.kaiser_filter_len(
+            max(200.0 / sample_rate, 0.002), 60.0) | 1)
+        h = design.ssb_bandpass(taps_len, sample_rate, sample_rate,
+                                upper=upper)
+        self.fir = FirFilter(h, batch_shape, dtype=jnp.complex64)
+
+    def init_state(self):
+        return self.fir.init_state()
+
+    def apply(self, state, x):
+        state, y = self.fir.apply(state, x)
+        return state, y.real.astype(jnp.float32)
+
+
+def _even_rate(sample_rate, audio_rate):
+    r = max(int(sample_rate), MIN_BANDWIDTH)
+    return r if r % 2 == 0 else r + 1
+
+
+@register_modem
+class ModemUSB(_AnalogModem):
+    name = "USB"
+    default_sample_rate = 5400
+    auto_gain = True
+    check_sample_rate = classmethod(
+        lambda cls, sr, ar: _even_rate(sr, ar))
+
+    def uses_signal_output(self):
+        return True
+
+    def _demod_op(self, sample_rate, audio_rate, batch_shape):
+        return _SSBDemod(sample_rate, upper=True, batch_shape=batch_shape)
+
+
+@register_modem
+class ModemLSB(_AnalogModem):
+    name = "LSB"
+    default_sample_rate = 5400
+    auto_gain = True
+    check_sample_rate = classmethod(
+        lambda cls, sr, ar: _even_rate(sr, ar))
+
+    def uses_signal_output(self):
+        return True
+
+    def _demod_op(self, sample_rate, audio_rate, batch_shape):
+        return _SSBDemod(sample_rate, upper=False, batch_shape=batch_shape)
+
+
+class _CWDemod(StreamOp):
+    """Offset the (narrow) CW segment by the beep frequency and take the real
+    part: a carrier at DC becomes an audible beep (ref: ModemCW.cpp:6-31)."""
+
+    def __init__(self, sample_rate, beep_hz=650.0, gain=15.0, batch_shape=()):
+        self.omega = 2 * np.pi * beep_hz / sample_rate
+        self.gain = gain
+        self.nco = NCOMixer(batch_shape)
+
+    def init_state(self):
+        return self.nco.init_state()
+
+    def apply(self, state, x):
+        state, y = self.nco.apply(state, (x, self.omega))
+        return state, (y.real * self.gain).astype(jnp.float32)
+
+
+@register_modem
+class ModemCW(_AnalogModem):
+    name = "CW"
+    default_sample_rate = MIN_BANDWIDTH
+    auto_gain = True
+
+    def get_settings(self):
+        return [
+            ModemArg("offset", "Frequency Offset", 650.0, "float", "Hz",
+                     "Frequency Offset / Beep frequency (200-1000Hz)",
+                     200.0, 1000.0),
+            ModemArg("auto", "Auto Gain", "on", "string",
+                     options=["on", "off"]),
+            ModemArg("gain", "Gain", 15.0, "float", low=1.0, high=100.0),
+        ]
+
+    def uses_signal_output(self):
+        return True
+
+    def build_kit(self, sample_rate, audio_rate=DEFAULT_AUDIO_RATE,
+                  batch_shape=()):
+        demod = _CWDemod(sample_rate, float(self.settings["offset"]),
+                         float(self.settings["gain"]), batch_shape)
+        auto = str(self.settings["auto"]) == "on"
+        return AnalogKit(demod, sample_rate, audio_rate, auto, batch_shape)
+
+
+class _IQKit(StreamOp):
+    """Stereo passthrough: (left, right) = (imag, real)
+    (ref: ModemIQ.cpp:39-57)."""
+
+    def apply(self, state, x):
+        audio = jnp.stack([x.imag, x.real], axis=-2).astype(jnp.float32)
+        return state, audio
+
+
+@register_modem
+class ModemIQ(Modem):
+    name = "I/Q"
+    modem_type = "analog"
+    default_sample_rate = 48000
+
+    @classmethod
+    def check_sample_rate(cls, sample_rate, audio_rate):
+        # Bandwidth pinned to the audio rate (ref: ModemIQ.cpp:31-33).
+        return int(audio_rate)
+
+    def build_kit(self, sample_rate, audio_rate=DEFAULT_AUDIO_RATE,
+                  batch_shape=()):
+        return _IQKit()
+
+
+class _FMStereoKit(StreamOp):
+    """FM stereo decoder; see module docstring for the pilot-squaring design.
+
+    Chain: freqdem -> { mono M ; analytic pilot p via one-sided 19 kHz FIR
+    bandpass ; S = Im[LPF( m * conj(p^2/|p|^2) )] } -> resample M,S ->
+    L,R = 0.568*(M -/+ S) -> optional de-emphasis -> 16 kHz kaiser LPF pair
+    (ref: ModemFMStereo.cpp:100-121 for the LPF spec, 271-299 for the matrix).
+    """
+
+    def __init__(self, sample_rate, audio_rate, demph_us, batch_shape=()):
+        bs = batch_shape
+        self.freqdem = FreqDem(0.5, bs)
+        # Analytic pilot bandpass: one-sided complex FIR centered at +19 kHz,
+        # +-500 Hz passband (ref pilot: cheby2 bandpass 19000..19500,
+        # ModemFMStereo.cpp:126-135).
+        n = design.kaiser_filter_len(1000.0 / sample_rate, 60.0) | 1
+        n = min(n, 1023)
+        lp = design.kaiser_lowpass(n, 500.0 / sample_rate, 60.0)
+        t = np.arange(n) - (n - 1) / 2
+        hp = (2.0 * lp * np.exp(2j * np.pi * 19000.0 / sample_rate * t)
+              ).astype(np.complex64)
+        self.pilot_fir = FirFilter(hp, bs, dtype=jnp.float32)
+        # Complex LPF extracting the down-mixed S (15 kHz wide).
+        ns = design.kaiser_filter_len(4000.0 / sample_rate, 60.0) | 1
+        hs = design.kaiser_lowpass(ns, 16000.0 / sample_rate, 60.0)
+        self.s_fir = FirFilter(hs, bs, dtype=jnp.complex64)
+        # Matched mono delay: pilot FIR delay (n-1)/2 + s LPF delay (ns-1)/2.
+        d = (n - 1) // 2 + (ns - 1) // 2
+        dl = np.zeros(d + 1, np.float32)
+        dl[d] = 1.0
+        self.mono_delay = FirFilter(dl, bs, dtype=jnp.float32)
+        P, Q = _audio_ratio(sample_rate, audio_rate)
+        self.Q = Q
+        self.rs_mono = RationalResampler(P, Q, batch_shape=bs,
+                                         dtype=jnp.float32)
+        self.rs_st = RationalResampler(P, Q, batch_shape=bs,
+                                       dtype=jnp.float32)
+        # Audio-rate stereo post chain (batch gains a channel axis of 2).
+        self.demph = None
+        if demph_us:
+            b, a = design.deemphasis_coeffs(demph_us, audio_rate)
+            self.demph = FirstOrderIIR(b, a, batch_shape=(*bs, 2))
+        fc = min(max(16000.0 / audio_rate, 0.0), 0.5)
+        na = design.kaiser_filter_len(1000.0 / audio_rate, 60.0) | 1
+        ha = design.kaiser_lowpass(na, fc, 60.0)
+        self.audio_fir = FirFilter(ha, (*bs, 2), dtype=jnp.float32)
+
+    def init_state(self):
+        return (self.freqdem.init_state(), self.pilot_fir.init_state(),
+                self.s_fir.init_state(), self.mono_delay.init_state(),
+                self.rs_mono.init_state(), self.rs_st.init_state(),
+                self.demph.init_state() if self.demph else (),
+                self.audio_fir.init_state())
+
+    def apply(self, state, x):
+        s_fd, s_p, s_s, s_md, s_rm, s_rs, s_de, s_af = state
+        s_fd, m = self.freqdem.apply(s_fd, x)
+        # Analytic pilot & 38 kHz reference by squaring.
+        s_p, p = self.pilot_fir.apply(s_p, m)
+        p2 = p * p
+        ref = p2 / (jnp.abs(p2) + 1e-12)
+        # Down-mix the 38 kHz DSB subcarrier to DC; S = Im part after LPF.
+        s_s, z = self.s_fir.apply(s_s, m.astype(jnp.complex64) * jnp.conj(ref))
+        s_band = 2.0 * z.imag.astype(jnp.float32)
+        s_md, m_d = self.mono_delay.apply(s_md, m)
+        s_rm, mono = self.rs_mono.apply(s_rm, m_d)
+        s_rs, ster = self.rs_st.apply(s_rs, s_band)
+        left = 0.568 * (mono - ster)
+        right = 0.568 * (mono + ster)
+        lr = jnp.stack([left, right], axis=-2)
+        if self.demph:
+            s_de, lr = self.demph.apply(s_de, lr)
+        s_af, lr = self.audio_fir.apply(s_af, lr)
+        return ((s_fd, s_p, s_s, s_md, s_rm, s_rs, s_de, s_af),
+                lr.astype(jnp.float32))
+
+
+@register_modem
+class ModemFMStereo(Modem):
+    name = "FMS"
+    modem_type = "analog"
+    default_sample_rate = 200000
+
+    def get_settings(self):
+        return [ModemArg("demph", "De-emphasis", 75, "int", "us",
+                         "De-emphasis time constant", options=[0, 10, 25, 50, 75])]
+
+    @classmethod
+    def check_sample_rate(cls, sample_rate, audio_rate):
+        # Needs the 38 kHz subcarrier: force >= 100 kHz
+        # (ref: ModemFMStereo.cpp:27-34).
+        return max(int(sample_rate), 100000)
+
+    def block_multiple(self, sample_rate, audio_rate=DEFAULT_AUDIO_RATE):
+        _, Q = _audio_ratio(sample_rate, audio_rate)
+        return Q
+
+    def build_kit(self, sample_rate, audio_rate=DEFAULT_AUDIO_RATE,
+                  batch_shape=()):
+        return _FMStereoKit(sample_rate, audio_rate,
+                            int(self.settings["demph"]), batch_shape)

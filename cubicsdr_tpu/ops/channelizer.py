@@ -1,0 +1,161 @@
+"""Polyphase filter-bank channelizers — hot path #1.
+
+TPU-native equivalents of liquid's ``firpfbch_crcf`` (critically sampled
+analyzer) and ``firpfbch2_crcf`` (2x oversampled), which the reference runs
+per-M-samples in a scalar loop (ref: src/sdr/SDRPostThread.cpp:406,449-451,
+463,504-509). Here one block is processed as:
+
+    frames (reshape/stride)  ->  depthwise polyphase FIR (one XLA conv)
+                             ->  batched M-point IFFT (native TPU FFT)
+                             ->  per-channel constant phase / parity flips
+
+Derivation: channel k's output is the input mixed down by w_k = 2*pi*k/M,
+lowpass-filtered by the prototype h, and decimated by D (D=M critically,
+D=M/2 oversampled):
+
+    y_k[s] = e^{-j w_k n_s} * sum_t h[t] e^{+j w_k t} x[n_s - t],
+    n_s = s*D + D - 1.
+
+With t = j*M + rho the inner sum splits into M polyphase branches
+u[s, rho] = sum_j h_poly[rho, j] * G[s - (M/D)*j, rho] over reversed
+stride-D frames G[s, rho] = x[s*D + D-1 - rho], and the rho-sum is an
+M-point inverse DFT. The leading e^{-j w_k n_s} term is a constant phase
+c_k per channel (critically sampled) times a (-1)^{k*s} parity flip
+(oversampled only). Channel k center frequency: +k/M * fs, wrapped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cubicsdr_tpu.stream.op import StreamOp
+from cubicsdr_tpu.ops import design
+from cubicsdr_tpu.utils.convolve import conv1d_grouped, frame_signal
+
+
+def _polyphase(h: np.ndarray, M: int) -> np.ndarray:
+    """h [M*J] -> h_poly [M, J] with h_poly[rho, j] = h[j*M + rho]."""
+    K = len(h)
+    J = int(np.ceil(K / M))
+    hp = np.zeros((M, J), np.float32)
+    for rho in range(M):
+        t = h[rho::M]
+        hp[rho, : len(t)] = t
+    return hp
+
+
+class ChannelizerPFB(StreamOp):
+    """Critically-sampled M-channel analyzer: L inputs -> [M, L//M] outputs.
+
+    Matches the reference config M channels, 8 taps/branch, 60 dB kaiser
+    (ref: src/sdr/SDRPostThread.cpp:406). Input block length must be a
+    multiple of M. Output channel k is centered at +k*fs/M (wrapped) and
+    sampled at fs/M.
+    """
+
+    def __init__(self, num_channels: int, taps_per_channel: int = 8,
+                 as_db: float = 60.0, batch_shape: tuple = ()):
+        self.M = int(num_channels)
+        h = design.pfb_prototype(self.M, taps_per_channel, as_db)
+        self.h_poly = jnp.asarray(_polyphase(np.asarray(h), self.M))
+        self.J = self.h_poly.shape[1]
+        self.batch_shape = batch_shape
+        k = np.arange(self.M)
+        # c_k = e^{-j w_k (D-1)} with D = M.
+        self.c = jnp.asarray(
+            np.exp(-2j * np.pi * k * (self.M - 1) / self.M), jnp.complex64)
+
+    def init_state(self):
+        # J-1 frames of history, already framed+reversed: [..., M, J-1].
+        return jnp.zeros((*self.batch_shape, self.M, self.J - 1),
+                         jnp.complex64)
+
+    def apply(self, hist, x):
+        assert x.shape[-1] % self.M == 0
+        n_frames = x.shape[-1] // self.M
+        # Frames reversed: G[s, rho] = x[s*M + M-1 - rho] -> [..., M, s] layout
+        # (branch axis first for the depthwise conv).
+        G = x.reshape(*x.shape[:-1], n_frames, self.M)[..., ::-1]
+        G = jnp.swapaxes(G, -1, -2)                       # [..., M, n_frames]
+        z = jnp.concatenate([hist, G], axis=-1)
+        u = conv1d_grouped(z, self.h_poly)                # [..., M, n_frames]
+        y = self.M * jnp.fft.ifft(u, axis=-2)             # DFT over branches
+        y = y * self.c[:, None]
+        new_hist = z[..., z.shape[-1] - (self.J - 1):]
+        return new_hist, y.astype(jnp.complex64)
+
+    def out_shape(self, in_len: int):
+        return (self.M, in_len // self.M)
+
+
+class ChannelizerPFB2(StreamOp):
+    """2x-oversampled M-channel analyzer: L inputs -> [M, 2*L//M] outputs.
+
+    Matches liquid firpfbch2 semantics: M outputs per M/2 inputs, channel
+    sample rate = 2*fs/M (ref: src/sdr/SDRPostThread.cpp:463,504-509 runs
+    demods at chanBw*2). Input block length must be a multiple of M/2.
+    """
+
+    def __init__(self, num_channels: int, taps_per_channel: int = 8,
+                 as_db: float = 60.0, batch_shape: tuple = ()):
+        assert num_channels % 2 == 0
+        self.M = int(num_channels)
+        self.D = self.M // 2
+        h = design.pfb_prototype(self.M, taps_per_channel, as_db)
+        self.h_poly = jnp.asarray(_polyphase(np.asarray(h), self.M))
+        self.J = self.h_poly.shape[1]
+        self.batch_shape = batch_shape
+        k = np.arange(self.M)
+        # c_k = e^{-j w_k (D-1)}, D = M/2.
+        self.c = jnp.asarray(
+            np.exp(-2j * np.pi * k * (self.D - 1) / self.M), jnp.complex64)
+        self.flip = jnp.asarray(np.where(k % 2 == 1, -1.0, 1.0), jnp.float32)
+        # Sample history: oldest sample needed for step s=0 is
+        # G[-2(J-1)] window start = -2(J-1)*D - D  ->  (2J-1)*D samples.
+        self.hist_len = (2 * self.J - 1) * self.D
+
+    def init_state(self):
+        samp_hist = jnp.zeros((*self.batch_shape, self.hist_len),
+                              jnp.complex64)
+        step_parity = jnp.zeros((), jnp.int32)  # global step count mod 2
+        return samp_hist, step_parity
+
+    def apply(self, state, x):
+        samp_hist, parity = state
+        assert x.shape[-1] % self.D == 0
+        n_steps = x.shape[-1] // self.D
+        z = jnp.concatenate([samp_hist, x], axis=-1)
+        # Overlapping reversed windows of length M, stride D. Window for
+        # step s (relative, including history steps) ends at z[s*D + D - 1]
+        # ... its M samples reversed give G[s, rho] = z[s*D + D-1 - rho].
+        n_total = (z.shape[-1] - self.M) // self.D + 1
+        G = frame_signal(z, self.M, self.D)[..., ::-1]    # [..., n_total, M]
+        G = jnp.swapaxes(G, -1, -2)                       # [..., M, n_total]
+        u = conv1d_grouped(G, self.h_poly, dilation=2)    # [..., M, n_steps]
+        y = self.M * jnp.fft.ifft(u, axis=-2)
+        y = y * self.c[:, None]
+        # (-1)^{k*s} with global step parity carried across blocks.
+        s = (jnp.arange(n_steps) + parity) % 2            # [n_steps]
+        sign = jnp.where(s[None, :] == 1, self.flip[:, None], 1.0)
+        y = y * sign
+        new_hist = z[..., z.shape[-1] - self.hist_len:]
+        new_parity = (parity + n_steps) % 2
+        return (new_hist, new_parity), y.astype(jnp.complex64)
+
+    def out_shape(self, in_len: int):
+        return (self.M, 2 * in_len // self.M)
+
+
+def channel_centers(num_channels: int, sample_rate: float,
+                    frequency: float = 0.0) -> np.ndarray:
+    """RF center of each channel, matching the analyzer's k -> +k*fs/M
+    (wrapped to (-fs/2, fs/2]) ordering. The reference computes the same set
+    (plus a duplicated wrap channel) in SDRPostThread::updateChannels
+    (ref: src/sdr/SDRPostThread.cpp:100-126)."""
+    M = num_channels
+    k = np.arange(M)
+    f = k * (sample_rate / M)
+    f = np.where(f > sample_rate / 2, f - sample_rate, f)
+    return frequency + f

@@ -1,0 +1,79 @@
+"""Stateful block FIR filtering and decimation (overlap-save streaming).
+
+Replaces liquid's firfilt/firdecim objects. The carried state is the last
+K-1 input samples — exactly the implicit history liquid keeps inside its
+filter objects (SURVEY.md §5 "long-context"). Streaming block-by-block is
+bit-identical to one-shot ``scipy.signal.lfilter`` on the concatenated
+stream (verified in tests/test_fir.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cubicsdr_tpu.stream.op import StreamOp
+from cubicsdr_tpu.utils.convolve import conv1d
+
+
+def fir_block(hist: jax.Array, x: jax.Array, taps: jax.Array,
+              decim: int = 1):
+    """One streaming FIR step.
+
+    hist: [..., K-1] previous inputs; x: [..., L] with L % decim == 0.
+    Returns (new_hist, y) where y: [..., L // decim] and y[n] =
+    sum_k taps[k] * stream[n*decim - k] (causal filtering of the stream).
+    """
+    z = jnp.concatenate([hist, x], axis=-1)
+    y = conv1d(z, taps, stride=decim)
+    k = taps.shape[0]
+    new_hist = z[..., z.shape[-1] - (k - 1):] if k > 1 else z[..., :0]
+    return new_hist, y
+
+
+class FirFilter(StreamOp):
+    """Streaming FIR; complex or real data, real or complex taps."""
+
+    def __init__(self, taps, batch_shape: tuple = (), dtype=jnp.complex64):
+        self.taps = jnp.asarray(taps)
+        self.batch_shape = batch_shape
+        self.dtype = dtype
+
+    def init_state(self):
+        k = self.taps.shape[0]
+        return jnp.zeros((*self.batch_shape, k - 1), self.dtype)
+
+    def apply(self, hist, x):
+        return fir_block(hist, x, self.taps, decim=1)
+
+
+class FirDecimator(StreamOp):
+    """Streaming FIR + decimate-by-M; block length must be a multiple of M."""
+
+    def __init__(self, taps, decim: int, batch_shape: tuple = (),
+                 dtype=jnp.complex64):
+        self.taps = jnp.asarray(taps)
+        self.decim = int(decim)
+        self.batch_shape = batch_shape
+        self.dtype = dtype
+
+    def init_state(self):
+        k = self.taps.shape[0]
+        # Pad history to a multiple of decim so output sample n corresponds to
+        # stream index n*decim (phase-aligned with one-shot lfilter[::M]).
+        pad = int(np.ceil((k - 1) / self.decim)) * self.decim
+        self._hist_len = pad
+        return jnp.zeros((*self.batch_shape, pad), self.dtype)
+
+    def apply(self, hist, x):
+        assert x.shape[-1] % self.decim == 0
+        z = jnp.concatenate([hist, x], axis=-1)
+        k = self.taps.shape[0]
+        pad = hist.shape[-1]
+        # Drop leading samples so the first window ends exactly at the first
+        # output position: y[n] = sum_k h[k] z[pad + n*decim - k].
+        start = pad - (k - 1)
+        y = conv1d(z[..., start:], self.taps, stride=self.decim)
+        new_hist = z[..., z.shape[-1] - pad:]
+        return new_hist, y

@@ -1,0 +1,144 @@
+"""IIR filtering without sequential loops: associative-scan linear recurrences.
+
+The reference uses liquid iirfilt objects for its DC blocker
+(ref: src/sdr/SDRPostThread.cpp:29 — ``iirfilt_crcf_create_dc_blocker(0.0005)``),
+SSB half-band lowpass (ref: src/modules/modem/analog/ModemUSB.cpp:10), FM
+de-emphasis (ref: src/modules/modem/analog/ModemFMStereo.cpp:146-160), and the
+pilot bandpass. Per-sample IIR loops are poison on TPU, but every linear
+recurrence has a log-depth parallel form: we run them with
+``jax.lax.associative_scan`` over affine maps, so an IIR over a 64k block is
+~log2(64k)=16 vector passes instead of 64k sequential steps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cubicsdr_tpu.stream.op import StreamOp
+from cubicsdr_tpu.ops.fir import fir_block
+
+
+def affine_scan_1st_order(c, d, y_prev):
+    """Solve y[n] = c*y[n-1] + d[n] (y[-1]=y_prev) in parallel.
+
+    d: [..., L]; c scalar. Returns y: [..., L].
+    Composition law for affine maps (a, b): x -> a*x + b.
+    """
+    L = d.shape[-1]
+    a = jnp.broadcast_to(jnp.asarray(c, d.dtype), d.shape)
+
+    def combine(l, r):
+        al, bl = l
+        ar, br = r
+        return al * ar, bl * ar + br
+
+    A, B = jax.lax.associative_scan(combine, (a, d), axis=-1)
+    return A * y_prev[..., None] + B
+
+
+def affine_scan_2nd_order(m: np.ndarray, f, s_prev):
+    """Solve s[n] = M s[n-1] + [f[n], 0] with constant 2x2 M, in parallel.
+
+    f: [..., L]; s_prev: [..., 2] = [y[-1], y[-2]]. Returns (y: [..., L],
+    s_last: [..., 2]). Used for biquad (SOS) sections.
+    """
+    L = f.shape[-1]
+    M = jnp.asarray(m, f.dtype)                      # [2,2]
+    Ms = jnp.broadcast_to(M, (*f.shape, 2, 2))       # [..., L, 2, 2]
+    v = jnp.stack([f, jnp.zeros_like(f)], axis=-1)   # [..., L, 2]
+
+    def combine(l, r):
+        Ml, vl = l
+        Mr, vr = r
+        return (
+            jnp.einsum("...ij,...jk->...ik", Mr, Ml),
+            jnp.einsum("...ij,...j->...i", Mr, vl) + vr,
+        )
+
+    A, B = jax.lax.associative_scan(combine, (Ms, v), axis=-3)
+    s = jnp.einsum("...ij,...j->...i", A, s_prev[..., None, :]) + B
+    return s[..., 0], s[..., -1, :]
+
+
+class DCBlocker(StreamOp):
+    """H(z) = (1 - z^-1) / (1 - (1-alpha) z^-1) — removes the DC spike the
+    hardware leaves at the tuner center (ref: src/sdr/SDRPostThread.cpp:29,284).
+    """
+
+    def __init__(self, alpha: float = 0.0005, batch_shape: tuple = (),
+                 dtype=jnp.complex64):
+        self.alpha = float(alpha)
+        self.batch_shape = batch_shape
+        self.dtype = dtype
+
+    def init_state(self):
+        return (jnp.zeros(self.batch_shape, self.dtype),   # x[-1]
+                jnp.zeros(self.batch_shape, self.dtype))   # y[-1]
+
+    def apply(self, state, x):
+        x_prev, y_prev = state
+        xd = jnp.concatenate([x_prev[..., None], x], axis=-1)
+        d = xd[..., 1:] - xd[..., :-1]
+        y = affine_scan_1st_order(1.0 - self.alpha, d, y_prev)
+        return (x[..., -1], y[..., -1]), y
+
+
+class SOSFilter(StreamOp):
+    """Cascaded biquads (scipy sos layout [n_sections, 6]) with streaming state.
+
+    Matches ``scipy.signal.sosfilt`` on the concatenated stream. Sections run
+    sequentially (few of them); each section is a parallel associative scan.
+    """
+
+    def __init__(self, sos: np.ndarray, batch_shape: tuple = (),
+                 dtype=jnp.float32):
+        sos = np.asarray(sos, np.float64)
+        assert sos.ndim == 2 and sos.shape[1] == 6
+        self.sos = sos
+        self.batch_shape = batch_shape
+        self.dtype = dtype
+
+    def init_state(self):
+        n = self.sos.shape[0]
+        return tuple(
+            (jnp.zeros((*self.batch_shape, 2), self.dtype),   # x hist [x-1, x-2]
+             jnp.zeros((*self.batch_shape, 2), self.dtype))   # y hist [y-1, y-2]
+            for _ in range(n)
+        )
+
+    def apply(self, state, x):
+        new_state = []
+        for i, (xh, yh) in enumerate(state):
+            b0, b1, b2, _, a1, a2 = self.sos[i]
+            taps = jnp.asarray([b0, b1, b2], x.dtype)
+            xh, f = fir_block(xh, x, taps)
+            M = np.array([[-a1, -a2], [1.0, 0.0]])
+            x, yh = affine_scan_2nd_order(M, f, yh)
+            new_state.append((xh, yh))
+        return tuple(new_state), x
+
+
+class FirstOrderIIR(StreamOp):
+    """y[n] = b0 x[n] + b1 x[n-1] - a1 y[n-1] (e.g. FM de-emphasis,
+    ref: src/modules/modem/analog/ModemFMStereo.cpp:271-288)."""
+
+    def __init__(self, b, a, batch_shape: tuple = (), dtype=jnp.float32):
+        b = np.asarray(b, np.float64)
+        a = np.asarray(a, np.float64)
+        assert b.shape == (2,) and a.shape == (2,) and a[0] == 1.0
+        self.b, self.a = b, a
+        self.batch_shape = batch_shape
+        self.dtype = dtype
+
+    def init_state(self):
+        return (jnp.zeros((*self.batch_shape, 1), self.dtype),
+                jnp.zeros(self.batch_shape, self.dtype))
+
+    def apply(self, state, x):
+        xh, y_prev = state
+        taps = jnp.asarray(self.b, x.dtype)
+        xh, f = fir_block(xh, x, taps)
+        y = affine_scan_1st_order(-self.a[1], f, y_prev)
+        return (xh, y[..., -1]), y
