@@ -253,21 +253,35 @@ class ModemLSB(_AnalogModem):
         return _SSBDemod(sample_rate, upper=False, batch_shape=batch_shape)
 
 
-class _CWDemod(StreamOp):
-    """Offset the (narrow) CW segment by the beep frequency and take the real
-    part: a carrier at DC becomes an audible beep (ref: ModemCW.cpp:6-31)."""
+class _CWKit(StreamOp):
+    """CW: interpolate the narrow IQ segment up to the audio rate, offset by
+    the beep frequency, take the real part and apply gain/autoGain — the
+    reference's exact order (ref: ModemCW.cpp:110-190: msresamp_cccf to the
+    audio rate first, since a 500 Hz-wide stream cannot carry a 650 Hz beep).
+    """
 
-    def __init__(self, sample_rate, beep_hz=650.0, gain=15.0, batch_shape=()):
-        self.omega = 2 * np.pi * beep_hz / sample_rate
+    def __init__(self, sample_rate, audio_rate, beep_hz=650.0, gain=15.0,
+                 auto=True, batch_shape=()):
+        P, Q = _audio_ratio(sample_rate, audio_rate)
+        self.up = RationalResampler(P, Q, batch_shape=batch_shape,
+                                    dtype=jnp.complex64)
+        self.omega = 2 * np.pi * beep_hz / audio_rate
         self.gain = gain
         self.nco = NCOMixer(batch_shape)
+        self.agc = AutoGain(batch_shape=batch_shape) if auto else None
 
     def init_state(self):
-        return self.nco.init_state()
+        return (self.up.init_state(), self.nco.init_state(),
+                self.agc.init_state() if self.agc else ())
 
     def apply(self, state, x):
-        state, y = self.nco.apply(state, (x, self.omega))
-        return state, (y.real * self.gain).astype(jnp.float32)
+        s_up, s_n, s_a = state
+        s_up, y = self.up.apply(s_up, x)
+        s_n, y = self.nco.apply(s_n, (y, self.omega))
+        a = (y.real * self.gain).astype(jnp.float32)
+        if self.agc:
+            s_a, a = self.agc.apply(s_a, a)
+        return (s_up, s_n, s_a), a[..., None, :]
 
 
 @register_modem
@@ -291,10 +305,10 @@ class ModemCW(_AnalogModem):
 
     def build_kit(self, sample_rate, audio_rate=DEFAULT_AUDIO_RATE,
                   batch_shape=()):
-        demod = _CWDemod(sample_rate, float(self.settings["offset"]),
-                         float(self.settings["gain"]), batch_shape)
-        auto = str(self.settings["auto"]) == "on"
-        return AnalogKit(demod, sample_rate, audio_rate, auto, batch_shape)
+        return _CWKit(sample_rate, audio_rate,
+                      float(self.settings["offset"]),
+                      float(self.settings["gain"]),
+                      str(self.settings["auto"]) == "on", batch_shape)
 
 
 class _IQKit(StreamOp):
@@ -348,11 +362,13 @@ class _FMStereoKit(StreamOp):
         ns = design.kaiser_filter_len(4000.0 / sample_rate, 60.0) | 1
         hs = design.kaiser_lowpass(ns, 16000.0 / sample_rate, 60.0)
         self.s_fir = FirFilter(hs, bs, dtype=jnp.complex64)
-        # Matched mono delay: pilot FIR delay (n-1)/2 + s LPF delay (ns-1)/2.
-        d = (n - 1) // 2 + (ns - 1) // 2
-        dl = np.zeros(d + 1, np.float32)
-        dl[d] = 1.0
-        self.mono_delay = FirFilter(dl, bs, dtype=jnp.float32)
+        # Align the composite with the pilot filter's group delay before
+        # mixing with the squared-pilot reference (otherwise the 38 kHz
+        # reference is phase-rotated by 2*w_p*delay and separation collapses),
+        # then give the mono path the S-LPF's delay on top.
+        from cubicsdr_tpu.ops.fir import DelayLine
+        self.pre_delay = DelayLine((n - 1) // 2, bs, jnp.float32)
+        self.mono_delay = DelayLine((ns - 1) // 2, bs, jnp.float32)
         P, Q = _audio_ratio(sample_rate, audio_rate)
         self.Q = Q
         self.rs_mono = RationalResampler(P, Q, batch_shape=bs,
@@ -371,31 +387,38 @@ class _FMStereoKit(StreamOp):
 
     def init_state(self):
         return (self.freqdem.init_state(), self.pilot_fir.init_state(),
-                self.s_fir.init_state(), self.mono_delay.init_state(),
+                self.pre_delay.init_state(), self.s_fir.init_state(),
+                self.mono_delay.init_state(),
                 self.rs_mono.init_state(), self.rs_st.init_state(),
                 self.demph.init_state() if self.demph else (),
                 self.audio_fir.init_state())
 
     def apply(self, state, x):
-        s_fd, s_p, s_s, s_md, s_rm, s_rs, s_de, s_af = state
+        s_fd, s_p, s_pd, s_s, s_md, s_rm, s_rs, s_de, s_af = state
         s_fd, m = self.freqdem.apply(s_fd, x)
         # Analytic pilot & 38 kHz reference by squaring.
         s_p, p = self.pilot_fir.apply(s_p, m)
         p2 = p * p
         ref = p2 / (jnp.abs(p2) + 1e-12)
+        # Composite delayed to match the pilot path's group delay.
+        s_pd, m_al = self.pre_delay.apply(s_pd, m)
         # Down-mix the 38 kHz DSB subcarrier to DC; S = Im part after LPF.
-        s_s, z = self.s_fir.apply(s_s, m.astype(jnp.complex64) * jnp.conj(ref))
+        s_s, z = self.s_fir.apply(
+            s_s, m_al.astype(jnp.complex64) * jnp.conj(ref))
         s_band = 2.0 * z.imag.astype(jnp.float32)
-        s_md, m_d = self.mono_delay.apply(s_md, m)
+        s_md, m_d = self.mono_delay.apply(s_md, m_al)
         s_rm, mono = self.rs_mono.apply(s_rm, m_d)
         s_rs, ster = self.rs_st.apply(s_rs, s_band)
-        left = 0.568 * (mono - ster)
-        right = 0.568 * (mono + ster)
+        # Pilot-squaring recovers S = (L-R)*k with positive sign, so left is
+        # mono+S here (the reference's PLL chain lands on the opposite sign,
+        # hence its mono-minus form at ModemFMStereo.cpp:283-293).
+        left = 0.568 * (mono + ster)
+        right = 0.568 * (mono - ster)
         lr = jnp.stack([left, right], axis=-2)
         if self.demph:
             s_de, lr = self.demph.apply(s_de, lr)
         s_af, lr = self.audio_fir.apply(s_af, lr)
-        return ((s_fd, s_p, s_s, s_md, s_rm, s_rs, s_de, s_af),
+        return ((s_fd, s_p, s_pd, s_s, s_md, s_rm, s_rs, s_de, s_af),
                 lr.astype(jnp.float32))
 
 

@@ -48,6 +48,28 @@ class FirFilter(StreamOp):
         return fir_block(hist, x, self.taps, decim=1)
 
 
+class DelayLine(StreamOp):
+    """Pure integer-sample delay: y[t] = x[t-d] (zeros before the stream).
+    O(L) copy — used to phase-align parallel paths (e.g. FM-stereo mono vs
+    subcarrier, matching FIR group delays)."""
+
+    def __init__(self, delay: int, batch_shape: tuple = (),
+                 dtype=jnp.float32):
+        self.delay = int(delay)
+        self.batch_shape = batch_shape
+        self.dtype = dtype
+
+    def init_state(self):
+        return jnp.zeros((*self.batch_shape, self.delay), self.dtype)
+
+    def apply(self, hist, x):
+        if self.delay == 0:
+            return hist, x
+        z = jnp.concatenate([hist, x], axis=-1)
+        y = z[..., : x.shape[-1]]
+        return z[..., x.shape[-1]:], y
+
+
 class FirDecimator(StreamOp):
     """Streaming FIR + decimate-by-M; block length must be a multiple of M."""
 
