@@ -1,0 +1,91 @@
+"""Signal-level estimation and squelch gating, batched per demod.
+
+Faithful to DemodulatorThread (ref: src/demod/DemodulatorThread.cpp:142-233):
+  - level = 20*log10(mean(|samples|)) over audio (signal-output modems) or IQ
+  - adaptive floor/ceil: ceil decays toward level+2 at 0.05/s, floor rises
+    toward level-5 at 0.15/s (scaled by block duration)
+  - smoothed level: attack 0.5, decay 0.05 * sampleTime * 30
+  - squelched = enabled && smoothed < squelchLevel
+  - audio peak = max(|audio|)
+All block-granular in the reference too — no scans needed.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cubicsdr_tpu.stream.op import StreamOp
+
+SMALL = 1e-20
+
+
+def linear_to_db(x):
+    return 20.0 * jnp.log10(jnp.maximum(x, SMALL))
+
+
+class SquelchGate(StreamOp):
+    """apply(state, (audio[..., N, C, L], iq[..., N, L] | None,
+    squelch_level[N], squelch_enabled[N])) ->
+    (state, dict(audio, squelched, level, floor, ceil, peak)).
+
+    ``use_signal_out`` (bool per batch row) selects audio-vs-IQ level source.
+    """
+
+    def __init__(self, sample_rate: float, n_demods: int,
+                 use_signal_out=None, batch_shape: tuple = ()):
+        self.sample_rate = float(sample_rate)
+        bs = (*batch_shape, n_demods)
+        self.bs = bs
+        self.use_signal_out = (jnp.zeros(n_demods, jnp.bool_)
+                               if use_signal_out is None
+                               else jnp.asarray(use_signal_out, jnp.bool_))
+
+    def init_state(self):
+        z = jnp.zeros(self.bs, jnp.float32)
+        return {
+            "level": z, "floor": z - 100.0, "ceil": z,
+            "squelch_break": jnp.zeros(self.bs, jnp.bool_),
+        }
+
+    def apply(self, state, inputs):
+        audio, iq, squelch_level, squelch_enabled = inputs
+        # Reference sampleTime = len(iq)/iqRate; the audio block spans the
+        # same duration, so measure it on the audio side.
+        sample_time = audio.shape[-1] / self.sample_rate
+
+        lvl_audio = linear_to_db(jnp.mean(jnp.abs(audio), axis=(-2, -1)))
+        if iq is not None:
+            lvl_iq = linear_to_db(jnp.mean(jnp.abs(iq), axis=-1))
+            current = jnp.where(self.use_signal_out, lvl_audio, lvl_iq)
+        else:
+            current = lvl_audio
+
+        sf, sc = state["floor"], state["ceil"]
+        sl = jnp.asarray(squelch_level, jnp.float32)
+        sc = jnp.maximum(sc, current)
+        sf = jnp.minimum(sf, current)
+        sc = jnp.maximum(sc, sl + 1.0)
+        sc = jnp.maximum(sc, sf + 2.0)
+        sc = sc - (sc - (current + 2.0)) * sample_time * 0.05
+        sf = sf + ((current - 5.0) - sf) * sample_time * 0.15
+
+        lvl = state["level"]
+        attack = lvl + (current - lvl) * 0.5
+        decay = lvl + (current - lvl) * 0.05 * sample_time * 30.0
+        lvl = jnp.where(current > lvl, attack, decay)
+
+        squelched = jnp.asarray(squelch_enabled, jnp.bool_) & (lvl < sl)
+        # Squelch break: became open this block (drives the UI flash,
+        # ref: DemodulatorThread.cpp:198-220).
+        sq_break = jnp.asarray(squelch_enabled, jnp.bool_) & ~squelched
+
+        peak = jnp.max(jnp.abs(audio), axis=(-2, -1))
+        gated = jnp.where(squelched[..., None, None],
+                          jnp.zeros_like(audio), audio)
+        new_state = {"level": lvl, "floor": sf, "ceil": sc,
+                     "squelch_break": sq_break}
+        return new_state, {
+            "audio": gated, "squelched": squelched, "level": lvl,
+            "floor": sf, "ceil": sc, "peak": peak,
+        }
