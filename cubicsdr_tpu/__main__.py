@@ -1,0 +1,4 @@
+from cubicsdr_tpu.app.cli import main
+import sys
+
+sys.exit(main())

@@ -1,0 +1,233 @@
+"""Command-line shell — the headless CubicSDR application.
+
+Replaces the wxApp shell (ref: src/CubicSDR.cpp OnInit/OnExit + cmdline
+flags CubicSDR.h:259-268) with subcommands:
+
+  demod      one receiver: IQ capture -> audio WAV
+  rx         session file -> every demodulator -> WAVs + stereo mix
+  waterfall  IQ capture -> spectrum/waterfall PNG
+  modems     list registered modem types + settings schemas
+  bench      single-chip throughput benchmark (same as bench.py)
+
+Frequency strings accept the reference's forms ("100.1", "100.1M",
+"98700k", raw Hz; ref: CubicSDR.cpp:80-141 frequency parsing).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def parse_frequency(s) -> float:
+    """'100.1' (MHz if small), '100.1M', '98700k', '2.4G', else Hz
+    (ref: CubicSDR::strToFrequency semantics)."""
+    if isinstance(s, (int, float)):
+        return float(s)
+    s = s.strip().lower().replace("hz", "")
+    mult = 1.0
+    if s.endswith("g"):
+        mult, s = 1e9, s[:-1]
+    elif s.endswith("m"):
+        mult, s = 1e6, s[:-1]
+    elif s.endswith("k"):
+        mult, s = 1e3, s[:-1]
+    v = float(s) * mult
+    if mult == 1.0 and v < 3000:        # bare small number = MHz convention
+        v *= 1e6
+    return v
+
+
+def format_frequency(f: float) -> str:
+    if f >= 1e9:
+        return f"{f/1e9:.6f} GHz"
+    if f >= 1e6:
+        return f"{f/1e6:.6f} MHz"
+    if f >= 1e3:
+        return f"{f/1e3:.3f} kHz"
+    return f"{f:.0f} Hz"
+
+
+def cmd_demod(args):
+    import jax
+    import jax.numpy as jnp
+    from cubicsdr_tpu.io import FileIQSource, WavWriter
+    from cubicsdr_tpu.receiver import (
+        DemodulatorMgr, ReceiverPipeline, plan_from_manager,
+        controls_from_manager)
+
+    center = parse_frequency(args.center)
+    freq = parse_frequency(args.frequency)
+    mgr = DemodulatorMgr()
+    d = mgr.new_demodulator(freq, args.modem, args.bandwidth)
+    if args.squelch is not None:
+        d.squelch_enabled = True
+        d.squelch_level = args.squelch
+    specs, keyed = plan_from_manager(mgr)
+    rx = ReceiverPipeline(args.rate, specs, chan_mode=args.channelizer)
+    controls = controls_from_manager(mgr, rx, keyed, center)
+    src = FileIQSource(args.input, args.rate, rx.block_len,
+                       frequency=center)
+    step = jax.jit(rx.apply)
+    state = rx.init_state()
+    w = WavWriter(args.output, 48000, 1)
+    nblocks = 0
+    for blk in src:
+        state, out = step(state, (jnp.asarray(blk), controls))
+        w.write(np.asarray(out["groups"][0]["audio"][0]))
+        nblocks += 1
+        if args.max_seconds and nblocks * rx.block_len / args.rate \
+                >= args.max_seconds:
+            break
+    w.close()
+    lvl = float(np.asarray(out["groups"][0]["level"])[0])
+    print(f"wrote {w.current_path}: {nblocks} blocks, "
+          f"signal {lvl:.1f} dB")
+
+
+def cmd_waterfall(args):
+    import jax
+    import jax.numpy as jnp
+    from cubicsdr_tpu.io import FileIQSource
+    from cubicsdr_tpu.visual import (
+        FFTDataDistributor, SpectrumProcessor, Waterfall)
+
+    src = FileIQSource(args.input, args.rate,
+                       block_len=1 << 17)
+    dist = FFTDataDistributor(args.fft_size * 2, args.rate,
+                              lines_per_second=args.lps,
+                              block_len=1 << 17)
+    sp = SpectrumProcessor(args.fft_size)
+    wf = Waterfall(args.fft_size, lines=args.lines, theme=args.theme)
+
+    st_d, st_s = dist.init_state(), sp.init_state()
+
+    @jax.jit
+    def step(st_d, st_s, x):
+        st_d, (frames, valid) = dist.apply(st_d, x)
+        st_s, out = sp.apply(st_s, frames)
+        return st_d, st_s, out, valid
+
+    n_lines = 0
+    for blk in src:
+        st_d, st_s, out, valid = step(st_d, st_s, jnp.asarray(blk))
+        nv = int(np.asarray(valid).sum())
+        if nv:
+            pts = np.asarray(out["spectrum_points"])
+            wf.add_lines(np.tile(pts, (nv, 1)))
+            n_lines += nv
+        if n_lines >= args.lines:
+            break
+    wf.render_png(args.output)
+    print(f"wrote {args.output}: {n_lines} lines, fft {args.fft_size}, "
+          f"floor {float(np.asarray(out['fft_floor'])):.2f}")
+
+
+def cmd_rx(args):
+    import jax
+    import jax.numpy as jnp
+    from cubicsdr_tpu.app.session import SessionMgr
+    from cubicsdr_tpu.io import FileIQSource, WavWriter
+    from cubicsdr_tpu.receiver import (
+        DemodulatorMgr, ReceiverPipeline, plan_from_manager,
+        controls_from_manager)
+
+    mgr = DemodulatorMgr()
+    sess = SessionMgr(mgr)
+    if not sess.load_session(args.session):
+        print(f"cannot load session {args.session}", file=sys.stderr)
+        return 1
+    specs, keyed = plan_from_manager(mgr)
+    rx = ReceiverPipeline(sess.sample_rate, specs,
+                          chan_mode=args.channelizer)
+    controls = controls_from_manager(mgr, rx, keyed, sess.center_freq)
+    src = FileIQSource(args.input, sess.sample_rate, rx.block_len)
+    step = jax.jit(rx.apply)
+    state = rx.init_state()
+    mix_w = WavWriter(args.output, 48000, 2)
+    for blk in src:
+        state, out = step(state, (jnp.asarray(blk), controls))
+        mix_w.write(np.asarray(out["mix"]))
+    mix_w.close()
+    print(f"wrote {mix_w.current_path} "
+          f"({len(mgr.get_demodulators())} demods mixed)")
+
+
+def cmd_modems(args):
+    from cubicsdr_tpu.modems import modem_names, make_modem
+    for t in ("analog", "digital"):
+        names = modem_names(t)
+        if not names:
+            continue
+        print(f"{t}:")
+        for n in names:
+            m = make_modem(n)
+            settings = {a.key: a.value for a in m.get_settings()}
+            extra = f"  settings={settings}" if settings else ""
+            print(f"  {n:6s} default_rate={m.default_sample_rate}{extra}")
+
+
+def cmd_bench(args):
+    import runpy
+    import os
+    sys.argv = ["bench.py"]
+    runpy.run_path(os.path.join(os.path.dirname(__file__),
+                                "..", "..", "bench.py"),
+                   run_name="__main__")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="cubicsdr_tpu",
+        description="TPU-native software radio (CubicSDR capability set)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("demod", help="demodulate one station from a capture")
+    d.add_argument("input")
+    d.add_argument("-r", "--rate", type=float, required=True)
+    d.add_argument("-c", "--center", default="0",
+                   help="capture center frequency")
+    d.add_argument("-f", "--frequency", required=True,
+                   help="station frequency (abs, or offset if center=0)")
+    d.add_argument("-m", "--modem", default="FM")
+    d.add_argument("-b", "--bandwidth", type=float, default=200000)
+    d.add_argument("-o", "--output", default="audio.wav")
+    d.add_argument("--squelch", type=float, default=None)
+    d.add_argument("--channelizer", default="pfbch2",
+                   choices=["pfbch", "pfbch2", "single"])
+    d.add_argument("--max-seconds", type=float, default=0)
+    d.set_defaults(fn=cmd_demod)
+
+    w = sub.add_parser("waterfall", help="render a waterfall PNG")
+    w.add_argument("input")
+    w.add_argument("-r", "--rate", type=float, required=True)
+    w.add_argument("-o", "--output", default="waterfall.png")
+    w.add_argument("--fft-size", type=int, default=2048)
+    w.add_argument("--lines", type=int, default=512)
+    w.add_argument("--lps", type=float, default=30)
+    w.add_argument("--theme", default="default")
+    w.set_defaults(fn=cmd_waterfall)
+
+    r = sub.add_parser("rx", help="run a saved session against a capture")
+    r.add_argument("session")
+    r.add_argument("input")
+    r.add_argument("-o", "--output", default="mix.wav")
+    r.add_argument("--channelizer", default="pfbch2",
+                   choices=["pfbch", "pfbch2", "single"])
+    r.set_defaults(fn=cmd_rx)
+
+    m = sub.add_parser("modems", help="list modem types")
+    m.set_defaults(fn=cmd_modems)
+
+    b = sub.add_parser("bench", help="run the throughput benchmark")
+    b.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args) or 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

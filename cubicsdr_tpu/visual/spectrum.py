@@ -1,0 +1,187 @@
+"""Spectrum display processor — hot path #4.
+
+Faithful port of the SpectrumVisualProcessor *math* (ref:
+src/process/SpectrumVisualProcessor.cpp:212-640) re-shaped for TPU: the
+per-frame FFT + magnitude + smoothing runs as a lax.scan over a batch of
+frames (sequential EMAs are the actual semantics — each frame sees the
+previous frame's averages), with all per-bin work vectorized.
+
+Pipeline per frame (fftSizeInternal = fft_size * SPECTRUM_VZM(=2),
+ref: CubicSDRDefs.h:44-46):
+    FFT -> |.| with fftshift -> double EMA (ma/maa at fft_average_rate)
+    -> frame ceil/floor -> EMA'd ceil/floor (0.05 twice)
+    -> optional peak hold
+    -> accumulate fftSizeInternal bins down to fft_size output points
+    -> log-normalize into [0,1] against (floor-0.75, ceil+0.25) * scale
+    -> optional DC-spike hide (neighbor mirror over +-2 kHz)
+
+View mode (zoomed spectrum): NCO shift to the view center + rational
+resample to the view bandwidth before framing — built by ``SpectrumView``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cubicsdr_tpu.ops.nco import NCOMixer
+from cubicsdr_tpu.ops.resample import RationalResampler, design_ratio
+from cubicsdr_tpu.stream.op import StreamOp
+
+SPECTRUM_VZM = 2                 # ref: src/CubicSDRDefs.h:46
+DEFAULT_FFT_SIZE = 2048          # ref: src/CubicSDRDefs.h:44
+
+
+class SpectrumProcessor(StreamOp):
+    def __init__(self, fft_size: int = DEFAULT_FFT_SIZE,
+                 fft_average_rate: float = 0.65, scale_factor: float = 1.0,
+                 peak_hold: bool = False, hide_dc: bool = False,
+                 batch_shape: tuple = ()):
+        self.fft_size = int(fft_size)
+        self.n = self.fft_size * SPECTRUM_VZM
+        self.rate = float(fft_average_rate)
+        self.sf = float(scale_factor)
+        self.peak_hold = peak_hold
+        self.hide_dc = hide_dc
+        self.bs = batch_shape
+
+    def init_state(self):
+        z = jnp.zeros((*self.bs, self.n), jnp.float32)
+        s = jnp.zeros(self.bs, jnp.float32)
+        return {
+            "ma": z, "maa": z, "peak": z,
+            "ceil_ma": s, "ceil_maa": s, "floor_ma": s, "floor_maa": s,
+            "ceil_peak": s, "floor_peak": s,
+            "primed": jnp.zeros(self.bs, jnp.bool_),
+        }
+
+    def _frame_step(self, st, frame):
+        mag = jnp.fft.fftshift(jnp.abs(jnp.fft.fft(frame, axis=-1)),
+                               axes=-1).astype(jnp.float32)
+        # First frame seeds the averages (the reference's NaN self-heal,
+        # ref: SpectrumVisualProcessor.cpp:494-499, since ma/maa start unset).
+        primed = st["primed"][..., None]
+        ma = jnp.where(primed, st["ma"], mag)
+        maa = jnp.where(primed, st["maa"], mag)
+        maa = maa + (ma - maa) * self.rate
+        ma = ma + (mag - ma) * self.rate
+        fr_ceil = jnp.max(maa, axis=-1)
+        fr_floor = jnp.min(maa, axis=-1)
+        peak = jnp.maximum(st["peak"], maa) if self.peak_hold else st["peak"]
+
+        def ema2(prev_ma, prev_maa, v, primed1):
+            pma = jnp.where(primed1, prev_ma, v)
+            pmaa = jnp.where(primed1, prev_maa, v)
+            pma = pma + (v - pma) * 0.05
+            pmaa = pmaa + (pma - pmaa) * 0.05
+            return pma, pmaa
+
+        p1 = st["primed"]
+        ceil_ma, ceil_maa = ema2(st["ceil_ma"], st["ceil_maa"], fr_ceil, p1)
+        floor_ma, floor_maa = ema2(st["floor_ma"], st["floor_maa"],
+                                   fr_floor, p1)
+        ceil_peak = jnp.maximum(st["ceil_peak"], ceil_maa) \
+            if self.peak_hold else st["ceil_peak"]
+        floor_peak = jnp.minimum(st["floor_peak"], floor_maa) \
+            if self.peak_hold else st["floor_peak"]
+        new = {"ma": ma, "maa": maa, "peak": peak,
+               "ceil_ma": ceil_ma, "ceil_maa": ceil_maa,
+               "floor_ma": floor_ma, "floor_maa": floor_maa,
+               "ceil_peak": ceil_peak, "floor_peak": floor_peak,
+               "primed": jnp.ones_like(st["primed"])}
+        return new, None
+
+    def _points(self, st, dc_offset_bins=None):
+        """Map smoothed bins -> fft_size normalized display points."""
+        maa, peak = st["maa"], st["peak"]
+        if self.peak_hold:
+            p_ceil, p_floor = st["ceil_peak"], st["floor_peak"]
+        else:
+            p_ceil, p_floor = st["ceil_maa"], st["floor_maa"]
+        # VZM accumulation: average each pair of internal bins
+        # (visualRatio==1 path of ref :534-576).
+        acc = maa.reshape(*maa.shape[:-1], self.fft_size, SPECTRUM_VZM
+                          ).mean(axis=-1)
+        denom = jnp.log10((p_ceil + 0.25) - (p_floor - 0.75))[..., None]
+        pts = (jnp.log10(acc + 0.25 - (p_floor[..., None] - 0.75))
+               / denom) * self.sf
+        out = {"spectrum_points": pts.astype(jnp.float32),
+               "fft_ceiling": p_ceil / self.sf, "fft_floor": p_floor}
+        if self.peak_hold:
+            accp = peak.reshape(*peak.shape[:-1], self.fft_size,
+                                SPECTRUM_VZM).mean(axis=-1)
+            hold = (jnp.log10(accp + 0.25 - (p_floor[..., None] - 0.75))
+                    / denom) * self.sf
+            out["spectrum_hold_points"] = hold.astype(jnp.float32)
+        if self.hide_dc and dc_offset_bins is not None:
+            out["spectrum_points"] = _hide_dc(
+                out["spectrum_points"], dc_offset_bins, self.fft_size)
+        return out
+
+    def apply(self, state, frames, dc_offset_bins=None):
+        """frames: [..., n_frames, fftSizeInternal] complex. Returns
+        (state, display dict) for the final frame's smoothed view."""
+        fr = jnp.moveaxis(frames, -2, 0)
+        state, _ = jax.lax.scan(self._frame_step, state, fr)
+        return state, self._points(state, dc_offset_bins)
+
+
+def _hide_dc(points, offset_bins, fft_size, width_bins=None):
+    """Mirror neighbors over the DC spike (ref :578-624): bins within
+    ``width_bins`` of ``offset_bins`` (position of the device center in the
+    display) are replaced by their outward neighbors."""
+    if width_bins is None:
+        width_bins = max(fft_size // 256, 2)
+    idx = jnp.arange(fft_size)
+    center = jnp.asarray(offset_bins)
+    d = idx - center
+    # Reflect across the region edges (c-w on the left, c+w on the right).
+    left = 2 * (center - width_bins) - idx - 1
+    right = 2 * (center + width_bins) - idx + 1
+    src = jnp.where(d < 0, left, right)
+    src = jnp.clip(src, 0, fft_size - 1).astype(jnp.int32)
+    mirrored = jnp.take(points, src, axis=-1)
+    mask = jnp.abs(d) <= width_bins
+    return jnp.where(mask, mirrored, points)
+
+
+class SpectrumView(StreamOp):
+    """Zoomed-spectrum front stage: shift the stream to the view center and
+    resample to the view bandwidth, then frame for the core processor
+    (ref view path: SpectrumVisualProcessor.cpp:283-386). Rebuilt on view
+    change (the reference also rebuilds its resampler then)."""
+
+    def __init__(self, input_rate: float, view_offset: float,
+                 view_bandwidth: float, fft_size: int = DEFAULT_FFT_SIZE):
+        self.input_rate = float(input_rate)
+        self.view_offset = float(view_offset)
+        # Reference halves input rate by VZM until <= bandwidth.
+        bw = float(input_rate)
+        while bw / SPECTRUM_VZM >= view_bandwidth:
+            bw /= SPECTRUM_VZM
+        self.resample_bw = bw
+        self.nco = NCOMixer()
+        P, Q = design_ratio(bw / input_rate, max_denominator=256)
+        self.P, self.Q = P, Q
+        self.resampler = RationalResampler(P, Q)
+        self.fft_size = fft_size
+        self.n = fft_size * SPECTRUM_VZM
+
+    def init_state(self):
+        return (self.nco.init_state(), self.resampler.init_state())
+
+    def apply(self, state, x):
+        s_n, s_r = state
+        omega = -2.0 * jnp.pi * self.view_offset / self.input_rate
+        s_n, y = self.nco.apply(s_n, (x, omega))
+        s_r, y = self.resampler.apply(s_r, y)
+        # Frame into fftSizeInternal chunks; the ragged tail is dropped
+        # (static shapes; the distributor upstream already paces frames, and
+        # the reference likewise FFTs only whole fftSizeInternal windows).
+        n_frames = y.shape[-1] // self.n
+        frames = y[..., : n_frames * self.n].reshape(
+            *y.shape[:-1], n_frames, self.n)
+        return (s_n, s_r), frames
