@@ -22,8 +22,10 @@ class AutoGain(StreamOp):
         self.batch_shape = batch_shape
 
     def init_state(self):
-        one = jnp.ones(self.batch_shape, jnp.float32)
-        return one, one, one       # prev ceil, ceil_ma, ceil_maa
+        # Distinct arrays (shared objects break buffer donation).
+        return (jnp.ones(self.batch_shape, jnp.float32),   # prev ceil
+                jnp.ones(self.batch_shape, jnp.float32),   # ceil_ma
+                jnp.ones(self.batch_shape, jnp.float32))   # ceil_maa
 
     def apply(self, state, x):
         ceil_prev, ceil_ma, ceil_maa = state

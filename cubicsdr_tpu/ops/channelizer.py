@@ -72,6 +72,17 @@ class ChannelizerPFB(StreamOp):
         return jnp.zeros((*self.batch_shape, self.M, self.J - 1),
                          jnp.complex64)
 
+    @property
+    def hist_len(self) -> int:
+        """Raw-sample history equivalent (for halo exchange)."""
+        return (self.J - 1) * self.M
+
+    def hist_from_samples(self, tail: jax.Array) -> jax.Array:
+        """Build the framed history state from the last (J-1)*M raw samples
+        (used when history arrives as a time-shard halo)."""
+        G = tail.reshape(*tail.shape[:-1], self.J - 1, self.M)[..., ::-1]
+        return jnp.swapaxes(G, -1, -2)
+
     def apply(self, hist, x):
         assert x.shape[-1] % self.M == 0
         n_frames = x.shape[-1] // self.M

@@ -1,0 +1,185 @@
+"""Planar complex arithmetic — the TPU-native complex representation.
+
+TPU compute units are real-valued; XLA's complex support is a decomposition
+layer (and the tunneled v5e backend in this environment rejects complex64
+outright). The hot path therefore carries IQ as two float32 planes (re, im),
+which is both required here and faster: elementwise complex ops fuse as
+plain VPU math, and the channelizer's DFT becomes an MXU matmul against a
+planar DFT matrix instead of an opaque complex FFT.
+
+A ``PC`` pair is just a tuple-like pytree (re, im); helpers below implement
+the complex algebra and the conv/DFT primitives used by the planar receiver
+(receiver/planar_fm.py).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class PC(NamedTuple):
+    """Planar complex: two same-shape real arrays."""
+    re: jax.Array
+    im: jax.Array
+
+    @property
+    def shape(self):
+        return self.re.shape
+
+    def __getitem__(self, idx):
+        if isinstance(idx, int):           # preserve NamedTuple field access
+            return tuple.__getitem__(self, idx)
+        return PC(self.re[idx], self.im[idx])
+
+    def slice_last(self, sl):
+        return PC(self.re[..., sl], self.im[..., sl])
+
+
+def from_complex(x) -> PC:
+    x = np.asarray(x)
+    return PC(jnp.asarray(x.real.astype(np.float32)),
+              jnp.asarray(x.imag.astype(np.float32)))
+
+
+def to_complex(x: PC) -> np.ndarray:
+    return np.asarray(x.re) + 1j * np.asarray(x.im)
+
+
+def pc_zeros(shape, dtype=jnp.float32) -> PC:
+    return PC(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def pc_mul(a: PC, b: PC) -> PC:
+    return PC(a.re * b.re - a.im * b.im, a.re * b.im + a.im * b.re)
+
+
+def pc_mul_conj(a: PC, b: PC) -> PC:
+    """a * conj(b)."""
+    return PC(a.re * b.re + a.im * b.im, a.im * b.re - a.re * b.im)
+
+
+def pc_abs2(a: PC) -> jax.Array:
+    return a.re * a.re + a.im * a.im
+
+
+def pc_abs(a: PC) -> jax.Array:
+    return jnp.sqrt(pc_abs2(a))
+
+
+def pc_concat(parts, axis=-1) -> PC:
+    return PC(jnp.concatenate([p.re for p in parts], axis=axis),
+              jnp.concatenate([p.im for p in parts], axis=axis))
+
+
+def pc_take(a: PC, idx, axis) -> PC:
+    return PC(jnp.take(a.re, idx, axis=axis), jnp.take(a.im, idx, axis=axis))
+
+
+def phasor(theta) -> PC:
+    return PC(jnp.cos(theta), jnp.sin(theta))
+
+
+def pc_arctan2(a: PC) -> jax.Array:
+    return jnp.arctan2(a.im, a.re)
+
+
+# ---------------------------------------------------------------- conv ----
+
+def conv_real(x: jax.Array, h: jax.Array, stride: int = 1,
+              dilation: int = 1, groups: int = 1) -> jax.Array:
+    """True conv (VALID) of real x [..., C, L] with taps h [C_out, K];
+    groups = feature_group_count. For C==1 inputs pass x [..., 1, L]."""
+    batch_shape = x.shape[:-2]
+    C, L = x.shape[-2], x.shape[-1]
+    n = int(np.prod(batch_shape)) if batch_shape else 1
+    hk = h[:, ::-1][:, None, :].astype(x.dtype)
+    y = lax.conv_general_dilated(
+        x.reshape(n, C, L), hk, window_strides=(stride,), padding="VALID",
+        dimension_numbers=("NCW", "OIW", "NCW"),
+        feature_group_count=groups, rhs_dilation=(dilation,),
+        preferred_element_type=jnp.float32,
+    )
+    return y.reshape(*batch_shape, y.shape[-2], y.shape[-1])
+
+
+def pc_conv(x: PC, h: jax.Array, stride: int = 1, dilation: int = 1,
+            groups: int = 1) -> PC:
+    """Planar input, REAL taps: two independent real convs."""
+    return PC(conv_real(x.re, h, stride, dilation, groups),
+              conv_real(x.im, h, stride, dilation, groups))
+
+
+# ----------------------------------------------------------- DFT matmul ----
+
+@lru_cache(maxsize=None)
+def _idft_mats(M: int):
+    k = np.arange(M)
+    W = np.exp(2j * np.pi * np.outer(k, k) / M)      # M * IDFT (no 1/M)
+    return (jnp.asarray(W.real.astype(np.float32)),
+            jnp.asarray(W.imag.astype(np.float32)))
+
+
+def pc_idft_m(u: PC, axis_m: int = -2) -> PC:
+    """M * inverse DFT along ``axis_m`` as two real matmuls (MXU path).
+    u: [..., M, T] by default."""
+    Wr, Wi = _idft_mats(u.re.shape[axis_m])
+    mv = lambda W, a: jnp.einsum("km,...mt->...kt", W,
+                                 jnp.moveaxis(a, axis_m, -2))
+    yr = mv(Wr, u.re) - mv(Wi, u.im)
+    yi = mv(Wr, u.im) + mv(Wi, u.re)
+    return PC(jnp.moveaxis(yr, -2, axis_m), jnp.moveaxis(yi, -2, axis_m))
+
+
+@lru_cache(maxsize=None)
+def _dft_mats(M: int):
+    k = np.arange(M)
+    W = np.exp(-2j * np.pi * np.outer(k, k) / M)
+    return (jnp.asarray(W.real.astype(np.float32)),
+            jnp.asarray(W.imag.astype(np.float32)))
+
+
+def pc_dft_m(u: PC, axis_m: int = -2) -> PC:
+    """Forward DFT along ``axis_m`` as two real matmuls."""
+    Wr, Wi = _dft_mats(u.re.shape[axis_m])
+    mv = lambda W, a: jnp.einsum("km,...mt->...kt", W,
+                                 jnp.moveaxis(a, axis_m, -2))
+    yr = mv(Wr, u.re) - mv(Wi, u.im)
+    yi = mv(Wr, u.im) + mv(Wi, u.re)
+    return PC(jnp.moveaxis(yr, -2, axis_m), jnp.moveaxis(yi, -2, axis_m))
+
+
+def pc_fft_four_step(x: PC, n1: int, n2: int) -> PC:
+    """Four-step (Bailey) FFT of length N = n1*n2 along the last axis, built
+    entirely from MXU matmuls and an elementwise twiddle — the TPU-native
+    large-FFT for the 64k spectrum config (BASELINE config #3).
+
+    X[k1 + n1*k2] = sum_{m2} W_N^{...}: decompose x[m1*n2 + m2]? Using the
+    standard decimation: view x as [n1, n2] row-major (index = i1*n2 + i2),
+    DFT columns (length n1), twiddle by W_N^{i2*k1}, DFT rows (length n2),
+    then read out transposed: X[k2*n1 + k1].
+    """
+    N = x.re.shape[-1]
+    assert n1 * n2 == N
+    v = PC(x.re.reshape(*x.re.shape[:-1], n1, n2),
+           x.im.reshape(*x.im.shape[:-1], n1, n2))
+    # DFT over the n1 axis (columns).
+    v = pc_dft_m(v, axis_m=-2)
+    # Twiddle W_N^{k1*i2}.
+    k1 = np.arange(n1)[:, None]
+    i2 = np.arange(n2)[None, :]
+    tw = np.exp(-2j * np.pi * (k1 * i2) / N)
+    twp = PC(jnp.asarray(tw.real.astype(np.float32)),
+             jnp.asarray(tw.imag.astype(np.float32)))
+    v = pc_mul(v, twp)
+    # DFT over the n2 axis (rows).
+    v = pc_dft_m(v, axis_m=-1)
+    # Output index X[k2*n1 + k1]: transpose [n1, n2] -> [n2, n1] then flatten.
+    yr = jnp.swapaxes(v.re, -1, -2).reshape(*x.re.shape[:-1], N)
+    yi = jnp.swapaxes(v.im, -1, -2).reshape(*x.im.shape[:-1], N)
+    return PC(yr, yi)

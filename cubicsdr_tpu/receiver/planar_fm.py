@@ -1,0 +1,158 @@
+"""PlanarFMFarm — the single-chip TPU hot path (benchmark flagship).
+
+The same chain as ReceiverPipeline's FM plan (PFBCH2 channelize -> route ->
+NCO -> resample -> FM discriminator -> audio resample -> mix) expressed in
+planar complex (ops/planar.py): all-real elementwise math, convs, and an
+MXU matmul for the channelizer DFT. Numerically identical to the complex64
+path (tests/test_planar.py) and the representation the TPU actually runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cubicsdr_tpu.ops import design
+from cubicsdr_tpu.ops.channelizer import _polyphase, channel_centers
+from cubicsdr_tpu.ops.planar import (
+    PC, pc_concat, pc_conv, pc_idft_m, pc_mul, pc_mul_conj, pc_take,
+    pc_zeros, phasor, pc_arctan2, conv_real)
+from cubicsdr_tpu.ops.resample import RationalResampler, design_ratio
+
+TWO_PI = 2.0 * np.pi
+
+
+def _planar_rational_resample(x: PC | jax.Array, rs: RationalResampler):
+    """Apply rs's polyphase kernel to [..., L] data (planar or real), input
+    already prefixed with rs.hist_len history. Returns same-kind output."""
+    start = rs.hist_len + rs.Q - 1 - (rs.KK - 1)
+    ker = np.asarray(rs.ker)
+
+    def one_plane(z):
+        y = conv_real(z[..., None, start:], ker, stride=rs.Q)  # [..., P, T]
+        return jnp.swapaxes(y, -1, -2).reshape(*y.shape[:-2], -1)
+
+    if isinstance(x, PC):
+        return PC(one_plane(x.re), one_plane(x.im))
+    return one_plane(x)
+
+
+class PlanarFMFarm:
+    def __init__(self, sample_rate: float, num_channels: int, n_demods: int,
+                 bandwidth: float = 200_000.0, audio_rate: int = 48_000,
+                 block_len: int | None = None):
+        self.sample_rate = float(sample_rate)
+        self.M = int(num_channels)
+        self.D = self.M // 2
+        self.n_demods = int(n_demods)
+        self.chan_rate = 2.0 * sample_rate / self.M
+        P1, Q1 = design_ratio(bandwidth / self.chan_rate, 500)
+        self.fe_rs = RationalResampler(P1, Q1)
+        P2, Q2 = design_ratio(audio_rate / bandwidth, 500)
+        self.au_rs = RationalResampler(P2, Q2, dtype=jnp.float32)
+        self.bandwidth = float(bandwidth)
+        self.audio_rate = audio_rate
+
+        m = self.D * 2
+        m = int(np.lcm(m, self.D * Q1))
+        t = Q2 // np.gcd(P1, Q2)
+        m = int(np.lcm(m, self.D * Q1 * t))
+        self.block_multiple = m
+        self.block_len = block_len or max(m, ((1 << 20) // m) * m)
+        assert self.block_len % m == 0
+        self.chan_len = self.block_len // self.D
+        self.demod_len = self.chan_len // Q1 * P1
+        self.audio_len = self.demod_len // Q2 * P2
+        self.centers = jnp.asarray(
+            channel_centers(self.M, sample_rate), jnp.float32)
+
+        # Channelizer constants in planar form — designed in pure numpy.
+        # (No complex jnp arrays may be created: the tunneled TPU backend
+        # rejects complex64 even for constants, poisoning the process.)
+        h = np.asarray(design.pfb_prototype(self.M, 8, 60.0))
+        self.h_poly = jnp.asarray(_polyphase(h, self.M))  # [M, J]
+        self.J = self.h_poly.shape[1]
+        kk = np.arange(self.M)
+        c = np.exp(-2j * np.pi * kk * (self.D - 1) / self.M)
+        self.c_pc = PC(jnp.asarray(c.real.astype(np.float32))[:, None],
+                       jnp.asarray(c.imag.astype(np.float32))[:, None])
+        self.hist_len = (2 * self.J - 1) * self.D
+        # chan_len even => the global step parity pattern repeats identically
+        # every block, so the (-1)^{k*s} flip needs no carried parity state.
+        assert self.chan_len % 2 == 0
+        s_par = (np.arange(self.chan_len) % 2).astype(np.float32)
+        k_par = (np.arange(self.M) % 2).astype(np.float32)
+        self._flip = jnp.asarray(1.0 - 2.0 * np.outer(k_par, s_par))
+
+    def init_state(self):
+        nd = self.n_demods
+        return {
+            "h_chan": pc_zeros(self.hist_len),
+            "phase": jnp.zeros(nd, jnp.float32),
+            "h_fe": pc_zeros((nd, self.fe_rs.hist_len)),
+            "prev_fd": PC(jnp.ones(nd, jnp.float32),
+                          jnp.zeros(nd, jnp.float32)),
+            "h_au": jnp.zeros((nd, self.au_rs.hist_len), jnp.float32),
+        }
+
+    def step(self, state, iq: PC, freqs: jax.Array):
+        """iq: PC of shape [block_len]; freqs: [n_demods] Hz offsets.
+        Returns (state, audio[n_demods, audio_len], mix[audio_len],
+        level[n_demods])."""
+        # ---- channelize (PFBCH2, planar) ----
+        z = pc_concat([state["h_chan"], iq])
+        # Reversed stride-D windows of length M ending at each step:
+        # G[s, rho] = z[s*D + D-1 - rho] for s in [0, n_total).
+        # Frame then reverse (matches ChannelizerPFB2.apply).
+        n_total = (z.shape[-1] - self.M) // self.D + 1
+        fi = (np.arange(n_total)[:, None] * self.D
+              + np.arange(self.M)[None, :])
+        G = PC(z.re[fi][..., ::-1], z.im[fi][..., ::-1])   # [n_total, M]
+        G = PC(jnp.swapaxes(G.re, -1, -2), jnp.swapaxes(G.im, -1, -2))
+        u = pc_conv(G, self.h_poly, dilation=2, groups=self.M)
+        y = pc_idft_m(u, axis_m=-2)                        # [M, chan_len]
+        chans = pc_mul(y, self.c_pc)
+        chans = PC(chans.re * self._flip, chans.im * self._flip)
+        new_h_chan = z.slice_last(slice(z.shape[-1] - self.hist_len, None))
+
+        # ---- route + NCO ----
+        dist = jnp.abs(freqs[:, None] - self.centers[None, :])
+        ci = jnp.argmin(dist, axis=-1)
+        xs = pc_take(chans, ci, axis=-2)                   # [N, Lc]
+        omega = TWO_PI * (self.centers[ci] - freqs) / self.chan_rate
+        k = jnp.arange(self.chan_len, dtype=jnp.float32)
+        theta = jnp.mod(state["phase"][:, None]
+                        + omega[:, None] * k[None, :], TWO_PI)
+        xs = pc_mul(xs, phasor(theta))
+        new_phase = jnp.mod(state["phase"] + omega * self.chan_len, TWO_PI)
+
+        # ---- resample to bandwidth ----
+        xh = pc_concat([state["h_fe"], xs])
+        yb = _planar_rational_resample(xh, self.fe_rs)     # [N, demod_len]
+        new_h_fe = xh.slice_last(
+            slice(xh.shape[-1] - self.fe_rs.hist_len, None))
+
+        # ---- FM discriminator ----
+        zb = pc_concat([PC(state["prev_fd"].re[:, None],
+                           state["prev_fd"].im[:, None]), yb])
+        d = pc_mul_conj(zb.slice_last(slice(1, None)),
+                        zb.slice_last(slice(0, -1)))
+        audio = pc_arctan2(d) * (1.0 / np.pi)              # kf = 0.5
+        new_prev = yb.slice_last(slice(-1, None))
+        new_prev = PC(new_prev.re[:, 0], new_prev.im[:, 0])
+
+        # ---- audio resample ----
+        ah = jnp.concatenate([state["h_au"], audio], axis=-1)
+        audio48 = _planar_rational_resample(ah, self.au_rs)
+        new_h_au = ah[..., ah.shape[-1] - self.au_rs.hist_len:]
+
+        # ---- mix + level ----
+        mix = jnp.sum(audio48, axis=0)
+        level = 20.0 * jnp.log10(
+            jnp.maximum(jnp.mean(jnp.abs(audio48), axis=-1), 1e-20))
+
+        new_state = {"h_chan": new_h_chan, "phase": new_phase,
+                     "h_fe": new_h_fe, "prev_fd": new_prev,
+                     "h_au": new_h_au}
+        return new_state, audio48, mix, level

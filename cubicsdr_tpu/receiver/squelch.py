@@ -42,9 +42,11 @@ class SquelchGate(StreamOp):
                                else jnp.asarray(use_signal_out, jnp.bool_))
 
     def init_state(self):
-        z = jnp.zeros(self.bs, jnp.float32)
+        # Distinct arrays per leaf (shared objects break buffer donation).
         return {
-            "level": z, "floor": z - 100.0, "ceil": z,
+            "level": jnp.zeros(self.bs, jnp.float32),
+            "floor": jnp.full(self.bs, -100.0, jnp.float32),
+            "ceil": jnp.zeros(self.bs, jnp.float32),
             "squelch_break": jnp.zeros(self.bs, jnp.bool_),
         }
 

@@ -49,12 +49,17 @@ class SpectrumProcessor(StreamOp):
         self.bs = batch_shape
 
     def init_state(self):
-        z = jnp.zeros((*self.bs, self.n), jnp.float32)
-        s = jnp.zeros(self.bs, jnp.float32)
+        # Distinct arrays per leaf (shared objects break buffer donation).
+        def z():
+            return jnp.zeros((*self.bs, self.n), jnp.float32)
+
+        def s():
+            return jnp.zeros(self.bs, jnp.float32)
+
         return {
-            "ma": z, "maa": z, "peak": z,
-            "ceil_ma": s, "ceil_maa": s, "floor_ma": s, "floor_maa": s,
-            "ceil_peak": s, "floor_peak": s,
+            "ma": z(), "maa": z(), "peak": z(),
+            "ceil_ma": s(), "ceil_maa": s(), "floor_ma": s(),
+            "floor_maa": s(), "ceil_peak": s(), "floor_peak": s(),
             "primed": jnp.zeros(self.bs, jnp.bool_),
         }
 
