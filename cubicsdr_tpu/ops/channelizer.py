@@ -141,8 +141,13 @@ class ChannelizerPFB2(StreamOp):
         # Overlapping reversed windows of length M, stride D. Window for
         # step s (relative, including history steps) ends at z[s*D + D - 1]
         # ... its M samples reversed give G[s, rho] = z[s*D + D-1 - rho].
+        # Gather-free framing: a window of length M = 2D at stride D is two
+        # adjacent D-rows of the reshaped stream (reshape + concat only).
         n_total = (z.shape[-1] - self.M) // self.D + 1
-        G = frame_signal(z, self.M, self.D)[..., ::-1]    # [..., n_total, M]
+        A = z[..., : (n_total + 1) * self.D].reshape(
+            *z.shape[:-1], n_total + 1, self.D)
+        G = jnp.concatenate([A[..., :-1, :], A[..., 1:, :]],
+                            axis=-1)[..., ::-1]           # [..., n_total, M]
         G = jnp.swapaxes(G, -1, -2)                       # [..., M, n_total]
         u = conv1d_grouped(G, self.h_poly, dilation=2)    # [..., M, n_steps]
         y = self.M * jnp.fft.ifft(u, axis=-2)

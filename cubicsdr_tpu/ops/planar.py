@@ -118,11 +118,17 @@ def pc_conv(x: PC, h: jax.Array, stride: int = 1, dilation: int = 1,
 # ----------------------------------------------------------- DFT matmul ----
 
 @lru_cache(maxsize=None)
-def _idft_mats(M: int):
+def _idft_mats_np(M: int):
     k = np.arange(M)
     W = np.exp(2j * np.pi * np.outer(k, k) / M)      # M * IDFT (no 1/M)
-    return (jnp.asarray(W.real.astype(np.float32)),
-            jnp.asarray(W.imag.astype(np.float32)))
+    return W.real.astype(np.float32), W.imag.astype(np.float32)
+
+
+def _idft_mats(M: int):
+    # Cache only numpy: jnp conversion must happen per-trace (a cached array
+    # created inside a shard_map/jit trace would leak a tracer).
+    a, b = _idft_mats_np(M)
+    return jnp.asarray(a), jnp.asarray(b)
 
 
 def pc_idft_m(u: PC, axis_m: int = -2) -> PC:
@@ -137,11 +143,15 @@ def pc_idft_m(u: PC, axis_m: int = -2) -> PC:
 
 
 @lru_cache(maxsize=None)
-def _dft_mats(M: int):
+def _dft_mats_np(M: int):
     k = np.arange(M)
     W = np.exp(-2j * np.pi * np.outer(k, k) / M)
-    return (jnp.asarray(W.real.astype(np.float32)),
-            jnp.asarray(W.imag.astype(np.float32)))
+    return W.real.astype(np.float32), W.imag.astype(np.float32)
+
+
+def _dft_mats(M: int):
+    a, b = _dft_mats_np(M)
+    return jnp.asarray(a), jnp.asarray(b)
 
 
 def pc_dft_m(u: PC, axis_m: int = -2) -> PC:

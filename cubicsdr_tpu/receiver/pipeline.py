@@ -130,8 +130,10 @@ class ReceiverPipeline(StreamOp):
 
     def _check_lengths(self):
         L = self.block_len
-        lc = L // self._decim * (2 if self.chan_mode == "pfbch2" else 1) \
-            if self.chan_mode != "single" else L
+        # Per-channel samples per block: L/decim for both modes (decim is
+        # M for pfbch, M/2 for pfbch2 — the 2x oversampling is already in
+        # the smaller decimation), L for single-channel.
+        lc = L // self._decim
         self._chan_len = lc
         outs = set()
         for fe in self.frontends:

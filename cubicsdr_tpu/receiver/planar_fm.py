@@ -104,12 +104,19 @@ class PlanarFMFarm:
         z = pc_concat([state["h_chan"], iq])
         # Reversed stride-D windows of length M ending at each step:
         # G[s, rho] = z[s*D + D-1 - rho] for s in [0, n_total).
-        # Frame then reverse (matches ChannelizerPFB2.apply).
+        # Frame then reverse (matches ChannelizerPFB2.apply). Gather-free:
+        # windows of length M = 2D at stride D are two adjacent D-rows of
+        # the reshaped stream — a pure reshape/slice/concat, which XLA
+        # compiles to plain copies (a [n_total, M] index gather at 1M-sample
+        # blocks stalls the TPU compiler for tens of minutes).
         n_total = (z.shape[-1] - self.M) // self.D + 1
-        fi = (np.arange(n_total)[:, None] * self.D
-              + np.arange(self.M)[None, :])
-        G = PC(z.re[fi][..., ::-1], z.im[fi][..., ::-1])   # [n_total, M]
-        G = PC(jnp.swapaxes(G.re, -1, -2), jnp.swapaxes(G.im, -1, -2))
+
+        def frames(plane):
+            A = plane[: (n_total + 1) * self.D].reshape(-1, self.D)
+            w = jnp.concatenate([A[:-1], A[1:]], axis=-1)   # [n_total, M]
+            return jnp.swapaxes(w[..., ::-1], -1, -2)       # [M, n_total]
+
+        G = PC(frames(z.re), frames(z.im))
         u = pc_conv(G, self.h_poly, dilation=2, groups=self.M)
         y = pc_idft_m(u, axis_m=-2)                        # [M, chan_len]
         chans = pc_mul(y, self.c_pc)

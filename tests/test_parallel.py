@@ -106,8 +106,9 @@ def test_graft_entry_single():
     import __graft_entry__
     fn, (state, x) = __graft_entry__.entry()
     state2, mix, level = jax.jit(fn)(state, x)
-    assert mix.shape[0] == 2
+    assert mix.ndim == 1 and mix.shape[0] > 1000    # mixed audio block
     assert np.isfinite(np.asarray(mix)).all()
+    assert level.shape == (16,)
 
 
 def test_graft_dryrun_multichip():

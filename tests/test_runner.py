@@ -1,0 +1,99 @@
+"""LiveReceiver end-to-end: producer thread -> ring -> compiled step ->
+recorders + waterfall + metrics. Plus device enumeration and rig control
+(ref: src/CubicSDR.cpp wiring, src/sdr/SDREnumerator.*, src/rig/RigThread.*).
+"""
+
+import numpy as np
+import pytest
+
+from cubicsdr_tpu.app.rig import (
+    SimulatedRig, RigController, RigError, RigIOError)
+from cubicsdr_tpu.io.devices import SDREnumerator, SDRDeviceInfo
+from cubicsdr_tpu.io.sources import SyntheticSource, Station
+from cubicsdr_tpu.io.wav import read_wav
+from cubicsdr_tpu.receiver import (
+    DemodulatorMgr, ReceiverPipeline, plan_from_manager,
+    controls_from_manager)
+
+
+def test_live_receiver_records_and_draws(tmp_path):
+    from cubicsdr_tpu.app.runner import LiveReceiver
+    fs = 1_000_000
+    mgr = DemodulatorMgr()
+    mgr.new_demodulator(100e6 + 200e3, "FM", 200000)
+    specs, keyed = plan_from_manager(mgr)
+    rx = ReceiverPipeline(fs, specs)
+    controls = controls_from_manager(mgr, rx, keyed, 100e6)
+
+    class _FiniteSource:
+        def __init__(self, n):
+            self.src = SyntheticSource(fs, rx.block_len, [
+                Station(200e3, "fm", audio_freq=1000.0)])
+            self.n = n
+
+        def __iter__(self):
+            for _ in range(self.n):
+                yield next(self.src)
+
+    lr = LiveReceiver(rx, controls, _FiniteSource(12),
+                      record_path=str(tmp_path / "rec"),
+                      waterfall_fft=256, waterfall_lines=32)
+    lr.start_producer()
+    n = lr.run_blocks()
+    lr.stop()
+    assert n == 12
+    d, rate = read_wav(str(tmp_path / "rec_demod0.wav"))
+    assert rate == 48000 and d.shape[1] == 12 * rx.audio_len
+    a = d[0, 9600:]
+    spec = np.abs(np.fft.rfft(a * np.hanning(len(a))))
+    f = np.fft.rfftfreq(len(a), 1 / 48000)
+    assert abs(f[spec.argmax()] - 1000.0) < 15
+    # Waterfall received lines; metrics ticked.
+    assert lr.waterfall.buffer.max() > 0
+    snap = lr.metrics.snapshot()
+    assert snap["pipeline"]["blocks"] == 12
+    assert snap["ingest"]["dropped"] == 0
+
+
+def test_enumerator_backends():
+    en = SDREnumerator()
+    en.add_remote("tcp://sdr.example:55132")
+    en.set_manuals([{"driver": "rtltcp", "label": "Manual RTL"}])
+    devs = en.enumerate_devices()
+    ids = [d.device_id for d in devs]
+    assert "synthetic=0" in ids
+    assert any(d.remote for d in devs)
+    assert any(d.manual for d in devs)
+    d = devs[0]
+    assert d.get_rate_near(2_300_000) == 2_400_000
+    assert len(d.get_sample_rates()) <= 25
+
+
+def test_rig_modes():
+    rig = SimulatedRig(14.074e6)
+    app = {"freq": 14.074e6}
+    rc = RigController(rig, lambda: app["freq"],
+                       lambda f: app.__setitem__("freq", f))
+    rc.poll()                       # establish baseline
+    # follow: rig moves -> app follows
+    rig.frequency = 14.2e6
+    assert rc.poll() == RigError.OK
+    assert app["freq"] == 14.2e6
+    # control: app moves -> rig follows
+    app["freq"] = 7.1e6
+    rc.poll()
+    assert rig.frequency == 7.1e6
+    # center lock: rig moves, app stays
+    rc.center_lock = True
+    rig.frequency = 7.2e6
+    rc.poll()
+    assert app["freq"] == 7.1e6
+    # follow-modem: rig tracks the modem frequency
+    rc.center_lock = False
+    rc.follow_modem = True
+    rc.poll(modem_freq=7.3e6)
+    assert rig.frequency == 7.3e6
+    # error surfacing
+    rig.fail_with = RigError.TIMEOUT
+    assert rc.poll() == RigError.TIMEOUT
+    assert RigError.TIMEOUT.message() == "Rig communication timed out"
