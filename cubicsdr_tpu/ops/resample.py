@@ -36,8 +36,12 @@ def design_ratio(ratio: float, max_denominator: int = 256) -> tuple[int, int]:
 def resampler_taps(P: int, Q: int, taps_per_phase: int = 24,
                    as_db: float = 60.0) -> np.ndarray:
     """Anti-alias/anti-image lowpass at the upsampled rate P*fs, cutoff
-    min(0.5/P, 0.5/Q), gain P (preserve amplitude through zero-stuffing)."""
-    L = P * taps_per_phase
+    min(0.5/P, 0.5/Q), gain P (preserve amplitude through zero-stuffing).
+
+    Length scales with max(P, Q): the transition band is 1/max(P,Q) of the
+    upsampled Nyquist, so a pure decimator (P=1) still gets a sharp filter.
+    """
+    L = max(P, Q) * taps_per_phase
     fc = min(0.5 / P, 0.5 / Q)
     return design.kaiser_lowpass(L, fc, as_db, gain=float(P))
 
