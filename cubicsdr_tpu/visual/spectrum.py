@@ -35,6 +35,41 @@ SPECTRUM_VZM = 2                 # ref: src/CubicSDRDefs.h:46
 DEFAULT_FFT_SIZE = 2048          # ref: src/CubicSDRDefs.h:44
 
 
+def frame_update(core: "SpectrumProcessor", st, mag):
+    """One frame's EMA/floor-ceil/peak update given the (shifted) magnitude.
+    Shared by the complex and planar paths. First frame seeds the averages
+    (the reference's NaN self-heal, ref: SpectrumVisualProcessor.cpp:494-499,
+    since ma/maa start unset)."""
+    primed = st["primed"][..., None]
+    ma = jnp.where(primed, st["ma"], mag)
+    maa = jnp.where(primed, st["maa"], mag)
+    maa = maa + (ma - maa) * core.rate
+    ma = ma + (mag - ma) * core.rate
+    fr_ceil = jnp.max(maa, axis=-1)
+    fr_floor = jnp.min(maa, axis=-1)
+    peak = jnp.maximum(st["peak"], maa) if core.peak_hold else st["peak"]
+
+    def ema2(prev_ma, prev_maa, v, primed1):
+        pma = jnp.where(primed1, prev_ma, v)
+        pmaa = jnp.where(primed1, prev_maa, v)
+        pma = pma + (v - pma) * 0.05
+        pmaa = pmaa + (pma - pmaa) * 0.05
+        return pma, pmaa
+
+    p1 = st["primed"]
+    ceil_ma, ceil_maa = ema2(st["ceil_ma"], st["ceil_maa"], fr_ceil, p1)
+    floor_ma, floor_maa = ema2(st["floor_ma"], st["floor_maa"], fr_floor, p1)
+    ceil_peak = jnp.maximum(st["ceil_peak"], ceil_maa) \
+        if core.peak_hold else st["ceil_peak"]
+    floor_peak = jnp.minimum(st["floor_peak"], floor_maa) \
+        if core.peak_hold else st["floor_peak"]
+    return {"ma": ma, "maa": maa, "peak": peak,
+            "ceil_ma": ceil_ma, "ceil_maa": ceil_maa,
+            "floor_ma": floor_ma, "floor_maa": floor_maa,
+            "ceil_peak": ceil_peak, "floor_peak": floor_peak,
+            "primed": jnp.ones_like(st["primed"])}
+
+
 class SpectrumProcessor(StreamOp):
     def __init__(self, fft_size: int = DEFAULT_FFT_SIZE,
                  fft_average_rate: float = 0.65, scale_factor: float = 1.0,
@@ -66,38 +101,7 @@ class SpectrumProcessor(StreamOp):
     def _frame_step(self, st, frame):
         mag = jnp.fft.fftshift(jnp.abs(jnp.fft.fft(frame, axis=-1)),
                                axes=-1).astype(jnp.float32)
-        # First frame seeds the averages (the reference's NaN self-heal,
-        # ref: SpectrumVisualProcessor.cpp:494-499, since ma/maa start unset).
-        primed = st["primed"][..., None]
-        ma = jnp.where(primed, st["ma"], mag)
-        maa = jnp.where(primed, st["maa"], mag)
-        maa = maa + (ma - maa) * self.rate
-        ma = ma + (mag - ma) * self.rate
-        fr_ceil = jnp.max(maa, axis=-1)
-        fr_floor = jnp.min(maa, axis=-1)
-        peak = jnp.maximum(st["peak"], maa) if self.peak_hold else st["peak"]
-
-        def ema2(prev_ma, prev_maa, v, primed1):
-            pma = jnp.where(primed1, prev_ma, v)
-            pmaa = jnp.where(primed1, prev_maa, v)
-            pma = pma + (v - pma) * 0.05
-            pmaa = pmaa + (pma - pmaa) * 0.05
-            return pma, pmaa
-
-        p1 = st["primed"]
-        ceil_ma, ceil_maa = ema2(st["ceil_ma"], st["ceil_maa"], fr_ceil, p1)
-        floor_ma, floor_maa = ema2(st["floor_ma"], st["floor_maa"],
-                                   fr_floor, p1)
-        ceil_peak = jnp.maximum(st["ceil_peak"], ceil_maa) \
-            if self.peak_hold else st["ceil_peak"]
-        floor_peak = jnp.minimum(st["floor_peak"], floor_maa) \
-            if self.peak_hold else st["floor_peak"]
-        new = {"ma": ma, "maa": maa, "peak": peak,
-               "ceil_ma": ceil_ma, "ceil_maa": ceil_maa,
-               "floor_ma": floor_ma, "floor_maa": floor_maa,
-               "ceil_peak": ceil_peak, "floor_peak": floor_peak,
-               "primed": jnp.ones_like(st["primed"])}
-        return new, None
+        return frame_update(self, st, mag), None
 
     def _points(self, st, dc_offset_bins=None):
         """Map smoothed bins -> fft_size normalized display points."""
