@@ -35,8 +35,9 @@ def test_four_step_fft_matches_numpy():
 def test_planar_farm_matches_complex_chain():
     fs, M, nd = 1_000_000, 8, 4
     farm = PlanarFMFarm(fs, M, nd, block_len=None)
-    # small block for test speed
-    farm2 = PlanarFMFarm(fs, M, nd, block_len=farm.block_multiple * 4)
+    # small block for test speed; exact math for bit-level comparison
+    farm2 = PlanarFMFarm(fs, M, nd, block_len=farm.block_multiple * 4,
+                         fast_math=False)
     farm = farm2
     freqs = np.array([150e3, -300e3, 0.0, 420e3], np.float32)
     n_blocks = 3
@@ -83,3 +84,39 @@ def test_planar_farm_matches_complex_chain():
             outs_ref.append(np.asarray(a48))
         ref = np.concatenate(outs_ref)
         np.testing.assert_allclose(audio[di], ref, atol=2e-3)
+
+
+def test_fast_math_snr_unchanged():
+    """fast_math (outer phasor + poly atan2) must not cost measurable SNR."""
+    fs, M, nd = 1_000_000, 8, 2
+    f0, fa = 150e3, 1000.0
+    results = {}
+    for fast in (False, True):
+        farm = PlanarFMFarm(fs, M, nd, block_len=None, fast_math=fast)
+        farm = PlanarFMFarm(fs, M, nd, block_len=farm.block_multiple * 60,
+                            fast_math=fast)
+        n = 6 * farm.block_len
+        t = np.arange(n) / fs
+        msg = np.sin(2 * np.pi * fa * t)
+        iq = np.exp(1j * (2 * np.pi * f0 * t
+                          + 2 * np.pi * 75e3 * np.cumsum(msg) / fs)
+                    ).astype(np.complex64)
+        freqs = np.zeros(nd, np.float32)
+        freqs[0] = f0
+        step = jax.jit(farm.step)
+        st = farm.init_state()
+        outs = []
+        for b in range(6):
+            st, audio, mix, lvl = step(
+                st, pl.from_complex(iq[b * farm.block_len:
+                                       (b + 1) * farm.block_len]),
+                jnp.asarray(freqs))
+            outs.append(np.asarray(audio[0]))
+        a = np.concatenate(outs)[2400:]
+        w = np.hanning(len(a))
+        spec = np.abs(np.fft.rfft((a - a.mean()) * w)) ** 2
+        fr = np.fft.rfftfreq(len(a), 1 / 48000)
+        sig = (fr > fa - 40) & (fr < fa + 40)
+        noise = ~sig & (fr > 50) & (fr < 15000)
+        results[fast] = 10 * np.log10(spec[sig].sum() / spec[noise].sum())
+    assert results[True] > results[False] - 0.2, results
