@@ -282,9 +282,14 @@ def controls_from_manager(mgr, pipeline: ReceiverPipeline, keyed: dict,
     (solo/mute resolution per ref: DemodulatorThread solo squelch-lock +
     AudioThread mute semantics)."""
     any_solo = any(d.solo for d in mgr.get_demodulators())
+    half = pipeline.sample_rate / 2
     controls = []
     for (key, demods), g in zip(keyed.items(), pipeline.groups):
         n = len(demods)
+        # Range (de)activation: demods outside the captured band go silent
+        # (ref: SDRPostThread::updateActiveDemodulators,
+        # src/sdr/SDRPostThread.cpp:66-89).
+        in_range = [abs(d.frequency - center_freq) <= half for d in demods]
         ctl = {
             "frequency": np.asarray(
                 [d.frequency - center_freq for d in demods], np.float32),
@@ -294,8 +299,8 @@ def controls_from_manager(mgr, pipeline: ReceiverPipeline, keyed: dict,
                 [d.squelch_enabled for d in demods], bool),
             "gain": np.asarray([d.gain for d in demods], np.float32),
             "active": np.asarray(
-                [not d.muted and (d.solo or not any_solo) for d in demods],
-                bool),
+                [ir and not d.muted and (d.solo or not any_solo)
+                 for d, ir in zip(demods, in_range)], bool),
         }
         controls.append(ctl)
     return controls
