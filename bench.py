@@ -23,12 +23,15 @@ def main():
     from cubicsdr_tpu.ops.planar import PC
     from cubicsdr_tpu.receiver.planar_fm import PlanarFMFarm
 
-    fs = 2_400_000
+    # Reference channel sizing: 16 channels <=> 8 MS/s capture
+    # (numChannels = ceil(rate/500k), ref: SoapySDRThread.cpp:676-693),
+    # keeping 500 kHz spacing so 200 kHz FM stations fit their channels.
+    fs = 8_000_000
     n_demods = 16
     farm = PlanarFMFarm(fs, num_channels=16, n_demods=n_demods,
                         block_len=None)   # ~1M samples/block
     freqs = jnp.asarray(
-        [(i - n_demods // 2) * 140e3 + 10e3 for i in range(n_demods)],
+        [(i - n_demods // 2) * 500e3 + 20e3 for i in range(n_demods)],
         jnp.float32)
 
     rng = np.random.default_rng(0)

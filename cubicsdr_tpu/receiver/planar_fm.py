@@ -183,7 +183,25 @@ class PlanarFMFarm:
             return jnp.swapaxes(w[..., ::-1], -1, -2)       # [M, n_total]
 
         G = PC(frames(z.re), frames(z.im))
-        u = pc_conv(G, self.h_poly, dilation=2, groups=self.M)
+        if self.fast_math:
+            # Depthwise dilated conv as an unrolled shifted-FMA loop: J=8
+            # broadcast multiply-adds over [M, T] beat the grouped-conv
+            # lowering (16 groups of 1 channel leave the conv unit idle).
+            n_steps = G.re.shape[-1] - 2 * (self.J - 1)
+            hp = np.asarray(self.h_poly)
+
+            def fir(plane):
+                acc = None
+                for j in range(self.J):
+                    s0 = 2 * (self.J - 1 - j)
+                    term = plane[..., s0: s0 + n_steps] \
+                        * jnp.asarray(hp[:, j])[:, None]
+                    acc = term if acc is None else acc + term
+                return acc
+
+            u = PC(fir(G.re), fir(G.im))
+        else:
+            u = pc_conv(G, self.h_poly, dilation=2, groups=self.M)
         y = pc_idft_m(u, axis_m=-2)                        # [M, chan_len]
         chans = pc_mul(y, self.c_pc)
         chans = PC(chans.re * self._flip, chans.im * self._flip)
