@@ -102,12 +102,16 @@ def planar_resample_matmul(x: PC | jax.Array, rs: RationalResampler):
 class PlanarFMFarm:
     def __init__(self, sample_rate: float, num_channels: int, n_demods: int,
                  bandwidth: float = 200_000.0, audio_rate: int = 48_000,
-                 block_len: int | None = None, fast_math: bool = True):
+                 block_len: int | None = None, fast_math: bool = True,
+                 use_pallas: bool = False):
         # fast_math: outer-product NCO phasor (2*sqrt(L) transcendentals
         # instead of 2L; differential phase error ~1e-7/sample) and
         # polynomial atan2 (max err 2.4e-7 rad). Both are >40 dB below the
         # chain's 60 dB design floor; the exact forms remain available.
+        # use_pallas: fused filter-bank kernel (ops/pallas/pfb.py) instead
+        # of the XLA reshape/FMA/matmul pipeline for the channelizer.
         self.fast_math = fast_math
+        self.use_pallas = use_pallas
         self.sample_rate = float(sample_rate)
         self.M = int(num_channels)
         self.D = self.M // 2
@@ -168,44 +172,50 @@ class PlanarFMFarm:
         level[n_demods])."""
         # ---- channelize (PFBCH2, planar) ----
         z = pc_concat([state["h_chan"], iq])
-        # Reversed stride-D windows of length M ending at each step:
-        # G[s, rho] = z[s*D + D-1 - rho] for s in [0, n_total).
-        # Frame then reverse (matches ChannelizerPFB2.apply). Gather-free:
-        # windows of length M = 2D at stride D are two adjacent D-rows of
-        # the reshaped stream — a pure reshape/slice/concat, which XLA
-        # compiles to plain copies (a [n_total, M] index gather at 1M-sample
-        # blocks stalls the TPU compiler for tens of minutes).
-        n_total = (z.shape[-1] - self.M) // self.D + 1
-
-        def frames(plane):
-            A = plane[: (n_total + 1) * self.D].reshape(-1, self.D)
-            w = jnp.concatenate([A[:-1], A[1:]], axis=-1)   # [n_total, M]
-            return jnp.swapaxes(w[..., ::-1], -1, -2)       # [M, n_total]
-
-        G = PC(frames(z.re), frames(z.im))
-        if self.fast_math:
-            # Depthwise dilated conv as an unrolled shifted-FMA loop: J=8
-            # broadcast multiply-adds over [M, T] beat the grouped-conv
-            # lowering (16 groups of 1 channel leave the conv unit idle).
-            n_steps = G.re.shape[-1] - 2 * (self.J - 1)
-            hp = np.asarray(self.h_poly)
-
-            def fir(plane):
-                acc = None
-                for j in range(self.J):
-                    s0 = 2 * (self.J - 1 - j)
-                    term = plane[..., s0: s0 + n_steps] \
-                        * jnp.asarray(hp[:, j])[:, None]
-                    acc = term if acc is None else acc + term
-                return acc
-
-            u = PC(fir(G.re), fir(G.im))
-        else:
-            u = pc_conv(G, self.h_poly, dilation=2, groups=self.M)
-        y = pc_idft_m(u, axis_m=-2)                        # [M, chan_len]
-        chans = pc_mul(y, self.c_pc)
-        chans = PC(chans.re * self._flip, chans.im * self._flip)
         new_h_chan = z.slice_last(slice(z.shape[-1] - self.hist_len, None))
+        if self.use_pallas:
+            # Fused filter-bank kernel: one HBM read of z, everything else
+            # stays in VMEM (ops/pallas/pfb.py).
+            from cubicsdr_tpu.ops.pallas.pfb import pfbch2_planar_pallas
+            cr, ci_ = pfbch2_planar_pallas(z.re, z.im,
+                                           np.asarray(self.h_poly), self.M)
+            chans = PC(cr, ci_)
+        else:
+            # Reversed stride-D windows of length M ending at each step:
+            # G[s, rho] = z[s*D + D-1 - rho] for s in [0, n_total).
+            # Gather-free framing: windows of length M = 2D at stride D are
+            # two adjacent D-rows of the reshaped stream (a [n_total, M]
+            # index gather at 1M-sample blocks stalls the TPU compiler).
+            n_total = (z.shape[-1] - self.M) // self.D + 1
+
+            def frames(plane):
+                A = plane[: (n_total + 1) * self.D].reshape(-1, self.D)
+                w = jnp.concatenate([A[:-1], A[1:]], axis=-1)
+                return jnp.swapaxes(w[..., ::-1], -1, -2)   # [M, n_total]
+
+            G = PC(frames(z.re), frames(z.im))
+            if self.fast_math:
+                # Depthwise dilated conv as an unrolled shifted-FMA loop:
+                # J=8 broadcast multiply-adds over [M, T] beat the
+                # grouped-conv lowering (16 groups of 1 channel sit idle).
+                n_steps = G.re.shape[-1] - 2 * (self.J - 1)
+                hp = np.asarray(self.h_poly)
+
+                def fir(plane):
+                    acc = None
+                    for j in range(self.J):
+                        s0 = 2 * (self.J - 1 - j)
+                        term = plane[..., s0: s0 + n_steps] \
+                            * jnp.asarray(hp[:, j])[:, None]
+                        acc = term if acc is None else acc + term
+                    return acc
+
+                u = PC(fir(G.re), fir(G.im))
+            else:
+                u = pc_conv(G, self.h_poly, dilation=2, groups=self.M)
+            y = pc_idft_m(u, axis_m=-2)                    # [M, chan_len]
+            chans = pc_mul(y, self.c_pc)
+            chans = PC(chans.re * self._flip, chans.im * self._flip)
 
         # ---- route + NCO ----
         dist = jnp.abs(freqs[:, None] - self.centers[None, :])
