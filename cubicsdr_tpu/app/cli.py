@@ -156,6 +156,58 @@ def cmd_rx(args):
           f"({len(mgr.get_demodulators())} demods mixed)")
 
 
+def cmd_serve(args):
+    """Live receiver + web UI (the AppFrame analog, served over HTTP)."""
+    import time
+    from cubicsdr_tpu.app.runner import LiveReceiver
+    from cubicsdr_tpu.app.session import SessionMgr
+    from cubicsdr_tpu.app.webview import WebViewer
+    from cubicsdr_tpu.io import FileIQSource
+    from cubicsdr_tpu.io.sources import SyntheticSource, Station
+    from cubicsdr_tpu.receiver import (
+        DemodulatorMgr, ReceiverPipeline, plan_from_manager,
+        controls_from_manager)
+
+    mgr = DemodulatorMgr()
+    center, rate = 100e6, args.rate
+    if args.session:
+        sess = SessionMgr(mgr)
+        if not sess.load_session(args.session):
+            print(f"cannot load session {args.session}", file=sys.stderr)
+            return 1
+        center, rate = sess.center_freq, sess.sample_rate
+    if not mgr.get_demodulators():
+        mgr.new_demodulator(center + 200e3, "FM", 200000)
+    specs, keyed = plan_from_manager(mgr)
+    rx = ReceiverPipeline(rate, specs, chan_mode=args.channelizer)
+    controls = controls_from_manager(mgr, rx, keyed, center)
+    if args.input:
+        src = FileIQSource(args.input, rate, rx.block_len, loop=True)
+    else:
+        src = SyntheticSource(rate, rx.block_len,
+                              [Station(200e3, "fm", audio_freq=1000.0),
+                               Station(-300e3, "am", audio_freq=600.0)])
+    lr = LiveReceiver(rx, controls, src, center_freq=center,
+                      record_path=args.record,
+                      waterfall_fft=args.fft_size)
+    viewer = WebViewer(lr, mgr, keyed, host=args.host,
+                       port=args.port).start()
+    print(f"serving http://{args.host}:{viewer.port}/  "
+          f"(center {format_frequency(center)}, rate {rate:.0f})")
+    lr.start_producer()
+    try:
+        while True:
+            n = lr.run_blocks(max_blocks=64)
+            if n == 0:
+                time.sleep(0.05)
+    except KeyboardInterrupt:
+        pass
+    finally:
+        lr.stop()
+        viewer.stop()
+        print(lr.status())
+
+
 def cmd_modems(args):
     from cubicsdr_tpu.modems import modem_names, make_modem
     for t in ("analog", "digital"):
@@ -218,6 +270,21 @@ def main(argv=None):
     r.add_argument("--channelizer", default="pfbch2",
                    choices=["pfbch", "pfbch2", "single"])
     r.set_defaults(fn=cmd_rx)
+
+    s = sub.add_parser("serve", help="live receiver with web UI")
+    s.add_argument("session", nargs="?", default=None,
+                   help="session .json (optional)")
+    s.add_argument("input", nargs="?", default=None,
+                   help="IQ capture to loop (default: synthetic stations)")
+    s.add_argument("-r", "--rate", type=float, default=2_400_000)
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("-p", "--port", type=int, default=8080)
+    s.add_argument("--fft-size", type=int, default=1024)
+    s.add_argument("--record", default=None,
+                   help="base path to record per-demod WAVs")
+    s.add_argument("--channelizer", default="pfbch2",
+                   choices=["pfbch", "pfbch2", "single"])
+    s.set_defaults(fn=cmd_serve)
 
     m = sub.add_parser("modems", help="list modem types")
     m.set_defaults(fn=cmd_modems)

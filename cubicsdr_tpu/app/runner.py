@@ -82,10 +82,12 @@ class LiveReceiver:
                    wait: bool = True) -> int:
         jnp = self._jnp
         n = 0
-        L = self.pipeline.block_len
         while not self._stop.is_set():
             if max_blocks is not None and n >= max_blocks:
                 break
+            # Re-read each block: a control-plane plan swap (webview add/
+            # remove demod) may change the compiled block size mid-stream.
+            L = self.pipeline.block_len
             got = self.ring.read(L)
             if got is None:
                 if not wait or (self._producer is not None

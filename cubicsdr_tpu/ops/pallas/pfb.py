@@ -6,10 +6,16 @@ the IQ planes are read ONCE from HBM into VMEM, everything else stays
 on-chip, and only the channel outputs go back. The DFT is a [M, M] x [M, T]
 MXU matmul against the (c_k-folded) planar DFT matrix.
 
+Mosaic-friendly layout: the host reshapes each plane to [D, rows] with TIME
+on the lane axis (rows = one D-sample hop each); the kernel then builds the
+M-tap analysis window as a sublane concat of two lane-shifted slices — no
+in-kernel reshape, reverse, or transpose (none of which lower to TPU). The
+window reversal is folded into the host-precomputed taps/DFT rows.
+
 Matches ChannelizerPFB2 / PlanarFMFarm._channelize numerics exactly (see
 tests/test_pallas_pfb.py). Grid: i over tiles of T output steps; program i
-DMAs z[i*T*D : i*T*D + (T + 2J - 1) * D] (the overlap is the filter
-history halo — same samples the time-sharded version exchanges over ICI).
+DMAs rows [i*T, i*T + T + 2J - 1) — the overlap is the filter history halo,
+the same samples the time-sharded version exchanges over ICI.
 """
 
 from __future__ import annotations
@@ -25,45 +31,52 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(z_re_hbm, z_im_hbm, h_ref, wr_ref, wi_ref,
             out_re, out_im, scratch_re, scratch_im, sem,
-            *, T: int, D: int, J: int, M: int):
+            *, T: int, D: int, J: int, M: int, n_rows_dma: int,
+            whole: bool):
     i = pl.program_id(0)
-    win = (T + 2 * J - 1) * D
 
-    # DMA this tile's overlapped window (both planes) into VMEM.
-    cp_re = pltpu.make_async_copy(
-        z_re_hbm.at[pl.ds(i * T * D, win)], scratch_re, sem.at[0])
-    cp_im = pltpu.make_async_copy(
-        z_im_hbm.at[pl.ds(i * T * D, win)], scratch_im, sem.at[1])
+    # HBM->VMEM DMA slices must be 128-aligned along lanes, so the copy
+    # window is padded up to n_rows_dma (the FIR only reads the first
+    # T + 2J - 2 + 1 columns); whole-array copy when there is one tile.
+    def src(ref):
+        return ref if whole else ref.at[:, pl.ds(i * T, n_rows_dma)]
+
+    cp_re = pltpu.make_async_copy(src(z_re_hbm), scratch_re, sem.at[0])
+    cp_im = pltpu.make_async_copy(src(z_im_hbm), scratch_im, sem.at[1])
     cp_re.start()
     cp_im.start()
     cp_re.wait()
     cp_im.wait()
 
-    n_rows = T + 2 * J - 1          # D-sample rows in the window
-
-    def channelize(plane):
-        A = plane.reshape(n_rows, D)
-        # Window s = rows s, s+1 concatenated then reversed: G [n_win, M].
-        w = jnp.concatenate([A[:-1], A[1:]], axis=-1)[:, ::-1]
-        G = w.T                      # [M, n_win], n_win = T + 2(J-1)
-        # Polyphase FIR: J shifted FMAs along time.
+    def channelize(A, shift, h_half):
+        # A: [D, n_rows]. The M-tap window for step s is rows s (upper half,
+        # rho < D) and s+1 (lower half) — handled as two D-row FIRs summed
+        # through split DFT matmuls below, so no sublane concat of
+        # differently-lane-shifted slices (Mosaic can't relayout that).
         acc = None
-        for j in range(J):
-            s0 = 2 * (J - 1 - j)
-            term = G[:, s0: s0 + T] * h_ref[:, j][:, None]
+        for j in range(J):           # polyphase FIR: J shifted FMAs
+            s0 = 2 * (J - 1 - j) + shift
+            term = A[:, s0: s0 + T] * h_half[:, j][:, None]
             acc = term if acc is None else acc + term
-        return acc                   # [M, T]
+        return acc                   # [D, T]
 
-    u_re = channelize(scratch_re[:])
-    u_im = channelize(scratch_im[:])
+    h_up, h_lo = h_ref[:D], h_ref[D:]
+    uu_re = channelize(scratch_re[:], 0, h_up)
+    ul_re = channelize(scratch_re[:], 1, h_lo)
+    uu_im = channelize(scratch_im[:], 0, h_up)
+    ul_im = channelize(scratch_im[:], 1, h_lo)
 
-    # M-point DFT as planar matmuls (c_k already folded into W rows).
-    wr = wr_ref[:]
-    wi = wi_ref[:]
-    y_re = (jnp.dot(wr, u_re, preferred_element_type=jnp.float32)
-            - jnp.dot(wi, u_im, preferred_element_type=jnp.float32))
-    y_im = (jnp.dot(wr, u_im, preferred_element_type=jnp.float32)
-            + jnp.dot(wi, u_re, preferred_element_type=jnp.float32))
+    # M-point DFT as planar matmuls (c_k and reversal folded into W rows),
+    # split into upper/lower window halves: y = W[:, :D] uu + W[:, D:] ul.
+    wru, wrl = wr_ref[:, :D], wr_ref[:, D:]
+    wiu, wil = wi_ref[:, :D], wi_ref[:, D:]
+
+    def dft(wm, a, b):
+        return (jnp.dot(wm[0], a, preferred_element_type=jnp.float32)
+                + jnp.dot(wm[1], b, preferred_element_type=jnp.float32))
+
+    y_re = (dft((wru, wrl), uu_re, ul_re) - dft((wiu, wil), uu_im, ul_im))
+    y_im = (dft((wru, wrl), uu_im, ul_im) + dft((wiu, wil), uu_re, ul_re))
 
     # (-1)^{k*s} parity flip (T is even and tiles start at even s).
     s_par = jax.lax.broadcasted_iota(jnp.int32, (1, T), 1) % 2
@@ -71,6 +84,18 @@ def _kernel(z_re_hbm, z_im_hbm, h_ref, wr_ref, wi_ref,
     sign = jnp.where((s_par * k_par) == 1, -1.0, 1.0).astype(jnp.float32)
     out_re[:] = y_re * sign
     out_im[:] = y_im * sign
+
+
+def _pick_tile(n_steps: int, tile: int) -> tuple[int, int]:
+    """Pick (T, pad_steps): T even, and either T == n_steps (single whole
+    block) or T a multiple of 128 dividing the (padded) step count."""
+    if n_steps <= tile and n_steps % 2 == 0:
+        return n_steps, 0
+    top = max(128, tile - tile % 128)
+    for T in range(top, 127, -128):
+        if n_steps % T == 0:
+            return T, 0
+    return top, (-n_steps) % top
 
 
 def pfbch2_planar_pallas(z_re, z_im, h_poly, M: int,
@@ -85,29 +110,45 @@ def pfbch2_planar_pallas(z_re, z_im, h_poly, M: int,
     L = z_re.shape[-1] - hist
     assert L % D == 0
     n_steps = L // D
-    T = min(tile, n_steps)
-    while n_steps % T:
-        T //= 2
-    assert T % 2 == 0 and n_steps % T == 0
-    grid = (n_steps // T,)
+    # TPU lane tiling: an output block (M, T) needs T % 128 == 0 unless the
+    # block covers the whole array (T == n_steps). Prefer a 128-multiple
+    # divisor of n_steps; otherwise zero-pad the tail tile and slice it off.
+    T, pad = _pick_tile(n_steps, tile)
+    grid = ((n_steps + pad) // T,)
+    whole = grid[0] == 1
+    # DMA window, rounded up to the 128-lane tiling (except whole-array).
+    pad_rows = 0 if whole else (-(T + 2 * J - 1)) % 128
+    n_rows_dma = T + 2 * J - 1 + pad_rows
+    if pad or pad_rows:
+        z_re = jnp.pad(z_re, (0, (pad + pad_rows) * D))
+        z_im = jnp.pad(z_im, (0, (pad + pad_rows) * D))
+
+    # [D, rows]: one XLA transpose in HBM so the kernel sees time on lanes.
+    rows = (n_steps + pad) + 2 * J - 1 + pad_rows
+    z2_re = z_re.reshape(rows, D).T
+    z2_im = z_im.reshape(rows, D).T
 
     k = np.arange(M)
     c = np.exp(-2j * np.pi * k * (D - 1) / M)
     W = np.exp(2j * np.pi * np.outer(k, k) / M) * c[:, None]
-    wr = jnp.asarray(W.real.astype(np.float32))
-    wi = jnp.asarray(W.imag.astype(np.float32))
+    # Fold the window reversal (rho -> M-1-rho) into the constants: the
+    # kernel then reads samples in natural order (no in-kernel `rev`).
+    W = W[:, ::-1]
+    h_poly = np.asarray(h_poly)[::-1]
+    wr = jnp.asarray(np.ascontiguousarray(W.real).astype(np.float32))
+    wi = jnp.asarray(np.ascontiguousarray(W.imag).astype(np.float32))
 
-    win = (T + 2 * J - 1) * D
-    kern = partial(_kernel, T=T, D=D, J=J, M=M)
-    out_shape = [jax.ShapeDtypeStruct((M, n_steps), jnp.float32)] * 2
-    return pl.pallas_call(
+    kern = partial(_kernel, T=T, D=D, J=J, M=M, n_rows_dma=n_rows_dma,
+                   whole=whole)
+    out_shape = [jax.ShapeDtypeStruct((M, n_steps + pad), jnp.float32)] * 2
+    cr, ci = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),       # z_re (manual DMA)
-            pl.BlockSpec(memory_space=pl.ANY),       # z_im
+            pl.BlockSpec(memory_space=pl.ANY),       # z2_re (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),       # z2_im
             pl.BlockSpec((M, J), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),      # h_poly
+                         memory_space=pltpu.VMEM),      # h_poly (reversed)
             pl.BlockSpec((M, M), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),      # Wr
             pl.BlockSpec((M, M), lambda i: (0, 0),
@@ -121,9 +162,12 @@ def pfbch2_planar_pallas(z_re, z_im, h_poly, M: int,
         ],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((win,), jnp.float32),
-            pltpu.VMEM((win,), jnp.float32),
+            pltpu.VMEM((D, n_rows_dma), jnp.float32),
+            pltpu.VMEM((D, n_rows_dma), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(z_re, z_im, jnp.asarray(h_poly), wr, wi)
+    )(z2_re, z2_im, jnp.asarray(h_poly), wr, wi)
+    if pad:
+        cr, ci = cr[:, :n_steps], ci[:, :n_steps]
+    return cr, ci

@@ -129,7 +129,14 @@ class PlanarFMFarm:
         t = Q2 // np.gcd(P1, Q2)
         m = int(np.lcm(m, self.D * Q1 * t))
         self.block_multiple = m
-        self.block_len = block_len or max(m, ((1 << 20) // m) * m)
+        # Default block: ~1M samples, and (when that stays near 1M) also a
+        # multiple of D*128 so chan_len is 128-step tileable for the fused
+        # Pallas channelizer (TPU lane tiling wants T % 128 == 0).
+        mp = int(np.lcm(m, self.D * 128))
+        if block_len is None:
+            base = mp if mp <= (1 << 21) else m
+            block_len = max(base, ((1 << 20) // base) * base)
+        self.block_len = block_len
         assert self.block_len % m == 0
         self.chan_len = self.block_len // self.D
         self.demod_len = self.chan_len // Q1 * P1

@@ -43,16 +43,16 @@ class Waterfall:
         return self._palette[idx]
 
     def render_png(self, path: str):
+        with open(path, "wb") as f:
+            f.write(self.render_png_bytes())
+
+    def render_png_bytes(self) -> bytes:
         img = (self.render_rgb() * 255).astype(np.uint8)
-        try:
-            from PIL import Image
-            Image.fromarray(img).save(path)
-        except ImportError:
-            _write_png(path, img)
+        return png_bytes(img)
 
 
-def _write_png(path: str, rgb: np.ndarray):
-    """Minimal dependency-free PNG writer (8-bit RGB)."""
+def png_bytes(rgb: np.ndarray) -> bytes:
+    """Minimal dependency-free PNG encoder (8-bit RGB)."""
     import struct
     import zlib
     h, w, _ = rgb.shape
@@ -63,8 +63,7 @@ def _write_png(path: str, rgb: np.ndarray):
         return (struct.pack(">I", len(data)) + c
                 + struct.pack(">I", zlib.crc32(c) & 0xFFFFFFFF))
 
-    with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))

@@ -48,3 +48,27 @@ def test_pallas_pfb_tile_independence():
         outs.append(np.asarray(yr) + 1j * np.asarray(yi))
     np.testing.assert_allclose(outs[0], outs[1], atol=1e-5)
     np.testing.assert_allclose(outs[0], outs[2], atol=1e-5)
+
+
+def test_pallas_pfb_pad_path():
+    """n_steps with no 128-multiple divisor exercises the zero-pad + slice
+    fallback (the shape class that broke on real TPU lane tiling)."""
+    M = 16
+    ch = ChannelizerPFB2(M)
+    rng = np.random.default_rng(2)
+    n_steps = 1000          # = 2^3 * 125: no 128-multiple divisor
+    L = n_steps * (M // 2)
+    x = (rng.standard_normal(L) + 1j * rng.standard_normal(L)
+         ).astype(np.complex64)
+    st, y_ref = ch.apply(ch.init_state(), jnp.asarray(x))
+    z = np.concatenate([np.zeros(ch.hist_len, np.complex64), x])
+    h_poly = np.asarray(ch.h_poly)
+    from cubicsdr_tpu.ops.pallas.pfb import _pick_tile
+    T, pad = _pick_tile(n_steps, tile=128)
+    assert T == 128 and pad == 24
+    yr, yi = pfbch2_planar_pallas(
+        jnp.asarray(z.real.copy()), jnp.asarray(z.imag.copy()),
+        h_poly, M, tile=128, interpret=True)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert got.shape == (M, n_steps)
+    np.testing.assert_allclose(got, np.asarray(y_ref), atol=2e-4)
