@@ -28,8 +28,12 @@ def main():
     # keeping 500 kHz spacing so 200 kHz FM stations fit their channels.
     fs = 8_000_000
     n_demods = 16
+    # Fused Pallas channelizer on TPU (ops/pallas/pfb.py); the XLA path is
+    # the fallback for backends without Mosaic support.
+    use_pallas = any(d.platform != "cpu" for d in jax.devices())
     farm = PlanarFMFarm(fs, num_channels=16, n_demods=n_demods,
-                        block_len=None)   # ~1M samples/block
+                        block_len=None,   # ~1M samples/block
+                        use_pallas=use_pallas)
     freqs = jnp.asarray(
         [(i - n_demods // 2) * 500e3 + 20e3 for i in range(n_demods)],
         jnp.float32)

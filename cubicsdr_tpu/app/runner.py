@@ -59,6 +59,15 @@ class LiveReceiver:
         self._st_dist = self.dist.init_state()
         self._st_spec = self.spec.init_state()
 
+        # Demod-view spectrum (the second SpectrumVisualProcessor instance,
+        # ref: src/CubicSDR.cpp:340,374): tracks ONE selected demod's IQ tap.
+        self.demod_view: Optional[int] = None    # flat (group-order) index
+        self.demod_view_fft = 256
+        self.demod_spectrum: Optional[np.ndarray] = None
+        self._dv_spec = SpectrumProcessor(self.demod_view_fft)
+        self._dv_state = self._dv_spec.init_state()
+        self._dv_carry = np.zeros(0, np.complex64)
+
         self._stop = threading.Event()
         self._producer: Optional[threading.Thread] = None
 
@@ -103,6 +112,37 @@ class LiveReceiver:
             n += 1
         return n
 
+    def set_demod_view(self, idx: Optional[int]):
+        """Select which demod's IQ tap feeds the demod-view spectrum
+        (flat group-order index; None disables)."""
+        if idx != self.demod_view:
+            self.demod_view = idx
+            self._dv_state = self._dv_spec.init_state()
+            self._dv_carry = np.zeros(0, np.complex64)
+            self.demod_spectrum = None
+
+    def _demod_view_fanout(self, out):
+        idx, off = self.demod_view, 0
+        for g in out["groups"]:
+            n = g["audio"].shape[0]
+            if idx < off + n:
+                tap = np.asarray(g["iq"])[idx - off]
+                if tap.ndim == 2:            # planar (re, im) rows
+                    tap = tap[0] + 1j * tap[1]
+                buf = np.concatenate([self._dv_carry,
+                                      tap.astype(np.complex64)])
+                F = 2 * self.demod_view_fft   # ×2 internal FFT (VZM)
+                n_fr = min(len(buf) // F, 8)
+                if n_fr:
+                    frames = buf[: n_fr * F].reshape(n_fr, F)
+                    self._dv_state, disp = self._dv_spec.apply(
+                        self._dv_state, self._jnp.asarray(frames))
+                    self.demod_spectrum = np.asarray(
+                        disp["spectrum_points"])
+                self._dv_carry = buf[n_fr * F:][-4 * F:]
+                return
+            off += n
+
     def _fanout(self, iq, out):
         # Waterfall lines from the full-band tap.
         self._st_dist, (frames, valid) = self.dist.apply(self._st_dist, iq)
@@ -111,6 +151,9 @@ class LiveReceiver:
             self._st_spec, disp = self.spec.apply(self._st_spec, frames)
             pts = np.asarray(disp["spectrum_points"])
             self.waterfall.add_lines(np.tile(pts, (nv, 1)))
+        # Demod-view spectrum from the selected demod's IQ tap.
+        if self.demod_view is not None:
+            self._demod_view_fanout(out)
         # Recording sinks per demod group/row.
         if self.record_path:
             gi_off = 0

@@ -22,6 +22,8 @@ Endpoints
                                           squelch_enabled/gain/mute/solo/
                                           active/label
       theme      {name}                   waterfall palette
+      view       {index|null}             select the demod-view spectrum
+                                          target (GET /api/demod_spectrum)
 
 Control changes rebuild the pipeline's traced control vectors (retunes and
 squelch/gain/mute are jit INPUTS, so no recompile); add/remove of demods
@@ -147,12 +149,21 @@ class WebViewer:
         receiver.on_block = hook
 
     # ---- state snapshots -------------------------------------------------
+    def _flat_order(self) -> list:
+        """Instances in the pipeline's flat group order (keyed iteration) —
+        the order of levels/recorder indices; may differ from mgr order."""
+        if not self.keyed:
+            return list(self.mgr.get_demodulators()) if self.mgr else []
+        return [d for ds in self.keyed.values() for d in ds]
+
     def state_json(self) -> dict:
         r = self.receiver
         demods = []
         if self.mgr is not None:
             with self._lock:
-                levels = dict(self._levels)
+                flat_levels = dict(self._levels)
+            levels = {id(d): flat_levels.get(fi, 0.0)
+                      for fi, d in enumerate(self._flat_order())}
             for i, d in enumerate(self.mgr.get_demodulators()):
                 demods.append({
                     "index": i, "type": d.demod_type,
@@ -161,7 +172,7 @@ class WebViewer:
                     "squelch_enabled": d.squelch_enabled,
                     "gain": d.gain, "muted": d.muted, "solo": d.solo,
                     "active": d.active, "label": d.label,
-                    "level": levels.get(i, 0.0),
+                    "level": levels.get(id(d), 0.0),
                 })
         from cubicsdr_tpu.visual.gradient import THEMES
         return {
@@ -178,6 +189,12 @@ class WebViewer:
         pts = self.receiver.waterfall.buffer[-1]   # newest display line
         return {"points": np.asarray(pts, np.float64).round(4).tolist()}
 
+    def demod_spectrum_json(self) -> dict:
+        pts = self.receiver.demod_spectrum
+        return {"index": self.receiver.demod_view,
+                "points": [] if pts is None
+                else np.asarray(pts, np.float64).round(4).tolist()}
+
     def waterfall_png(self) -> bytes:
         return self.receiver.waterfall.render_png_bytes()
 
@@ -190,6 +207,16 @@ class WebViewer:
             self._refresh_controls()
         elif action == "theme":
             r.waterfall.set_theme(str(cmd["name"]))
+        elif action == "view" and self.mgr is not None:
+            # Select the demod-view spectrum target (mgr index or null).
+            idx = cmd.get("index")
+            if idx is None:
+                r.set_demod_view(None)
+            else:
+                d = self.mgr.get_demodulators()[int(idx)]
+                flat = self._flat_order()
+                r.set_demod_view(
+                    next(fi for fi, x in enumerate(flat) if x is d))
         elif action == "set" and self.mgr is not None:
             d = self.mgr.get_demodulators()[int(cmd["index"])]
             key, value = cmd["key"], cmd["value"]
@@ -252,6 +279,7 @@ class WebViewer:
                                          r.center_freq)
         step = jax.jit(pipeline.apply)
         state = pipeline.init_state()
+        r.set_demod_view(None)       # flat indices change with the plan
         with self._lock:
             self.keyed = keyed
             r.pipeline, r.controls, r.step, r.state = (
@@ -283,6 +311,9 @@ class WebViewer:
                     elif path == "/api/spectrum":
                         self._send(
                             200, json.dumps(viewer.spectrum_json()).encode())
+                    elif path == "/api/demod_spectrum":
+                        self._send(200, json.dumps(
+                            viewer.demod_spectrum_json()).encode())
                     elif path == "/api/waterfall.png":
                         self._send(200, viewer.waterfall_png(), "image/png")
                     else:

@@ -42,7 +42,7 @@ def test_webview_endpoints_and_control(tmp_path):
         def __iter__(self):
             src = SyntheticSource(fs, rx.block_len,
                                   [Station(200e3, "fm", audio_freq=800.0)])
-            for _ in range(6):
+            for _ in range(16):
                 yield next(src)
 
     lr = LiveReceiver(rx, controls, _Src(),
@@ -84,6 +84,13 @@ def test_webview_endpoints_and_control(tmp_path):
         assert _post(port, "/api/control",
                      {"action": "theme", "name": "jet"})["ok"]
         assert lr.waterfall.theme_name == "jet"
+
+        # Demod-view spectrum: select demod 0, run blocks, points appear.
+        assert _post(port, "/api/control",
+                     {"action": "view", "index": 0})["ok"]
+        lr.run_blocks(max_blocks=2)
+        dv = json.loads(_get(port, "/api/demod_spectrum"))
+        assert dv["index"] == 0 and len(dv["points"]) == lr.demod_view_fft
 
         # Plan change: add a second demod -> new compiled plan swaps in and
         # further blocks run (the async worker-thread rebuild analog).
