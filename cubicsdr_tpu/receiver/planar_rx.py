@@ -134,8 +134,10 @@ class _PlanarDemod:
 class PlanarReceiver:
     def __init__(self, sample_rate: float, num_channels: int,
                  groups: list[PlanarGroup], audio_rate: int = 48_000,
-                 block_len: int | None = None, fast_math: bool = True):
+                 block_len: int | None = None, fast_math: bool = True,
+                 use_pallas: bool = False):
         self.fast_math = fast_math
+        self.use_pallas = use_pallas
         self.sample_rate = float(sample_rate)
         self.M = int(num_channels)
         self.D = self.M // 2
@@ -169,7 +171,13 @@ class PlanarReceiver:
             t = Q2 // np.gcd(P1, Q2)
             m = int(np.lcm(m, self.D * Q1 * t))
         self.block_multiple = m
-        self.block_len = block_len or max(m, ((1 << 20) // m) * m)
+        # Default block ~1M samples, 128-step aligned for the fused Pallas
+        # channelizer when that keeps the block near 1M (see planar_fm.py).
+        mp = int(np.lcm(m, self.D * 128))
+        if block_len is None:
+            base = mp if mp <= (1 << 21) else m
+            block_len = max(base, ((1 << 20) // base) * base)
+        self.block_len = block_len
         assert self.block_len % m == 0
         self.chan_len = self.block_len // self.D
         assert self.chan_len % 2 == 0
@@ -199,6 +207,12 @@ class PlanarReceiver:
 
     def _channelize(self, h_chan: PC, iq: PC):
         z = pc_concat([h_chan, iq])
+        if self.use_pallas:
+            from cubicsdr_tpu.ops.pallas.pfb import pfbch2_planar_pallas
+            cr, ci = pfbch2_planar_pallas(z.re, z.im,
+                                          np.asarray(self.h_poly), self.M)
+            new_h = z.slice_last(slice(z.shape[-1] - self.hist_len, None))
+            return new_h, PC(cr, ci)
         n_total = (z.shape[-1] - self.M) // self.D + 1
 
         def frames(plane):
