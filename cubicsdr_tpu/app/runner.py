@@ -12,6 +12,7 @@ shedding, exactly the reference's queue-full policy
 
 from __future__ import annotations
 
+import collections
 import threading
 from typing import Callable, Optional
 
@@ -58,6 +59,12 @@ class LiveReceiver:
         self.waterfall = Waterfall(waterfall_fft, waterfall_lines)
         self._st_dist = self.dist.init_state()
         self._st_spec = self.spec.init_state()
+
+        # Live audio tap: rolling mix chunks for HTTP/host audio sinks (the
+        # AudioThread output analog, ref: src/audio/AudioThread.cpp:88-243).
+        self.audio_tap: collections.deque = collections.deque(maxlen=64)
+        self.audio_cond = threading.Condition()
+        self._audio_seq = 0
 
         # Demod-view spectrum (the second SpectrumVisualProcessor instance,
         # ref: src/CubicSDR.cpp:340,374): tracks ONE selected demod's IQ tap.
@@ -154,6 +161,12 @@ class LiveReceiver:
         # Demod-view spectrum from the selected demod's IQ tap.
         if self.demod_view is not None:
             self._demod_view_fanout(out)
+        # Mix audio tap for live listeners.
+        if "mix" in out:
+            with self.audio_cond:
+                self.audio_tap.append(np.asarray(out["mix"]))
+                self._audio_seq += 1
+                self.audio_cond.notify_all()
         # Recording sinks per demod group/row.
         if self.record_path:
             gi_off = 0

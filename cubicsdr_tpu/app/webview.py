@@ -56,7 +56,9 @@ _PAGE = """<!doctype html>
 <canvas id="wf" width="1024" height="320"></canvas>
 <div>center <input id="freq" size="12"> <button onclick="tune()">tune</button>
  <button onclick="addDemod()">add demod @ click</button>
- theme <select id="theme" onchange="setTheme()"></select></div>
+ theme <select id="theme" onchange="setTheme()"></select>
+ <button onclick="listen()">listen</button></div>
+<audio id="aud" controls style="display:none"></audio>
 <div id="demods"></div>
 <script>
 let st = null, clickFreq = null;
@@ -117,6 +119,11 @@ wf.onclick = spec.onclick = (ev) => {
 function addDemod() {
   if (clickFreq !== null)
     ctl({action:'add', freq: clickFreq, type:'FM', bandwidth:200000});
+}
+function listen() {
+  const a = document.getElementById('aud');
+  a.style.display = 'block'; a.src = '/api/audio.wav?' + Date.now();
+  a.play();
 }
 poll();
 </script></body></html>"""
@@ -194,6 +201,63 @@ class WebViewer:
         return {"index": self.receiver.demod_view,
                 "points": [] if pts is None
                 else np.asarray(pts, np.float64).round(4).tolist()}
+
+    def scope_json(self, mode: str = "Y") -> dict:
+        """Audio scope traces (ref: ScopeVisualProcessor waveform modes)."""
+        from cubicsdr_tpu.visual.scope import scope_trace
+        with self.receiver.audio_cond:
+            chunk = (self.receiver.audio_tap[-1]
+                     if self.receiver.audio_tap else None)
+        if chunk is None:
+            return {"mode": mode, "traces": []}
+        tr = np.asarray(scope_trace(np.atleast_2d(chunk), mode))
+        tr = tr[..., :: max(1, tr.shape[-1] // 1024)][..., :1024]
+        return {"mode": mode,
+                "traces": np.asarray(tr, np.float64).round(4).tolist()}
+
+    def stream_audio_wav(self, wfile):
+        """Chunked 16-bit WAV stream of the live mix (the web-world
+        RtAudio output; plays in an <audio> element)."""
+        import struct
+        r = self.receiver
+        rate = int(getattr(r.pipeline, "audio_rate", 48000))
+        ch = 2
+        hdr = (b"RIFF" + struct.pack("<I", 0xFFFFFFFF) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, rate,
+                                       rate * ch * 2, ch * 2, 16)
+               + b"data" + struct.pack("<I", 0xFFFFFFFF))
+        wfile.write(hdr)
+        seq = r._audio_seq
+        while True:
+            with r.audio_cond:
+                r.audio_cond.wait_for(lambda: r._audio_seq != seq,
+                                      timeout=2.0)
+                if r._audio_seq == seq:
+                    return                       # stream idle; end
+                seq = r._audio_seq
+                chunk = r.audio_tap[-1]
+            a = np.atleast_2d(chunk)
+            if a.shape[0] == 1:
+                a = np.concatenate([a, a], axis=0)
+            pcm = (np.clip(a.T, -1, 1) * 32767).astype("<i2").tobytes()
+            wfile.write(pcm)
+
+    def session_io(self, cmd: dict) -> dict:
+        from cubicsdr_tpu.app.session import SessionMgr
+        sess = SessionMgr(self.mgr)
+        sess.center_freq = int(self.receiver.center_freq)
+        sess.sample_rate = int(self.receiver.pipeline.sample_rate)
+        path = str(cmd["path"])
+        if cmd.get("op") == "save":
+            sess.save_session(path)
+            return {"ok": True, "path": path}
+        if cmd.get("op") == "load":
+            if not sess.load_session(path):
+                return {"ok": False, "error": f"cannot load {path}"}
+            self.receiver.center_freq = float(sess.center_freq)
+            self._rebuild_plan()
+            return {"ok": True, "demods": len(self.mgr.get_demodulators())}
+        return {"ok": False, "error": "op must be save|load"}
 
     def waterfall_png(self) -> bytes:
         return self.receiver.waterfall.render_png_bytes()
@@ -314,6 +378,22 @@ class WebViewer:
                     elif path == "/api/demod_spectrum":
                         self._send(200, json.dumps(
                             viewer.demod_spectrum_json()).encode())
+                    elif path == "/api/scope":
+                        q = self.path.split("?", 1)
+                        mode = "Y"
+                        if len(q) > 1 and "mode=" in q[1]:
+                            mode = q[1].split("mode=")[1].split("&")[0]
+                        self._send(200, json.dumps(
+                            viewer.scope_json(mode)).encode())
+                    elif path == "/api/audio.wav":
+                        self.send_response(200)
+                        self.send_header("Content-Type", "audio/wav")
+                        self.send_header("Cache-Control", "no-store")
+                        self.end_headers()
+                        try:
+                            viewer.stream_audio_wav(self.wfile)
+                        except (BrokenPipeError, ConnectionResetError):
+                            pass
                     elif path == "/api/waterfall.png":
                         self._send(200, viewer.waterfall_png(), "image/png")
                     else:
@@ -322,13 +402,19 @@ class WebViewer:
                     self._send(500, json.dumps({"error": str(e)}).encode())
 
             def do_POST(self):
-                if self.path.split("?")[0] != "/api/control":
-                    self._send(404, b'{"error":"not found"}')
-                    return
+                path = self.path.split("?")[0]
                 n = int(self.headers.get("Content-Length", 0))
                 try:
                     cmd = json.loads(self.rfile.read(n) or b"{}")
-                    self._send(200, json.dumps(viewer.control(cmd)).encode())
+                    if path == "/api/control":
+                        self._send(200,
+                                   json.dumps(viewer.control(cmd)).encode())
+                    elif path == "/api/session":
+                        self._send(200,
+                                   json.dumps(viewer.session_io(cmd))
+                                   .encode())
+                    else:
+                        self._send(404, b'{"error":"not found"}')
                 except Exception as e:      # noqa: BLE001
                     self._send(400, json.dumps({"error": str(e)}).encode())
 

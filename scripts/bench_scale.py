@@ -14,7 +14,9 @@ def run(K, blk_mult, n_iters=10):
     fs = 8_000_000
     N = 16
     base = PlanarFMFarm(fs, num_channels=16, n_demods=N, use_pallas=True)
-    L = base.block_len * blk_mult
+    L = int(base.block_len * blk_mult)
+    L -= L % base.block_multiple
+    L -= L % (base.D * 128)
     farm = PlanarFMFarm(fs, num_channels=16, n_demods=N, block_len=L,
                         use_pallas=True)
     freqs = jnp.asarray([(i - N // 2) * 500e3 + 20e3 for i in range(N)],
@@ -44,8 +46,7 @@ def run(K, blk_mult, n_iters=10):
 
 
 if __name__ == "__main__":
-    run(16, 1)
-    run(32, 1)
-    run(8, 2)
-    run(8, 4)
-    run(4, 8)
+    import sys
+    for spec in sys.argv[1:]:
+        k, m = spec.split(":")
+        run(int(k), float(m))

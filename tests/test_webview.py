@@ -109,6 +109,35 @@ def test_webview_endpoints_and_control(tmp_path):
         # Unknown action surfaces an error, not a 500.
         r = _post(port, "/api/control", {"action": "bogus"})
         assert not r["ok"]
+
+        # Scope traces from the live mix (Y / 2Y / XY modes).
+        sc = json.loads(_get(port, "/api/scope?mode=2Y"))
+        assert sc["mode"] == "2Y" and len(sc["traces"]) == 2
+
+        # Live audio stream: run blocks concurrently, read WAV header +
+        # some PCM (the web-world RtAudio output). Unmute first (muted
+        # above) so the tone reaches the mix.
+        assert _post(port, "/api/control",
+                     {"action": "set", "index": 0, "key": "mute",
+                      "value": False})["ok"]
+        t = threading.Thread(target=lr.run_blocks,
+                             kwargs={"max_blocks": 4}, daemon=True)
+        t.start()
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/api/audio.wav", timeout=15) as rsp:
+            head = rsp.read(44 + 9600)
+        t.join(timeout=20)
+        assert head[:4] == b"RIFF" and head[8:12] == b"WAVE"
+        pcm = np.frombuffer(head[44:], "<i2")
+        assert np.abs(pcm).max() > 0       # tone present in the mix
+
+        # Session save/load round-trip through the API.
+        sp_path = str(tmp_path / "sess.json")
+        assert _post(port, "/api/session",
+                     {"op": "save", "path": sp_path})["ok"]
+        assert _post(port, "/api/session",
+                     {"op": "load", "path": sp_path})["ok"]
+        assert len(mgr.get_demodulators()) == 1
     finally:
         lr.stop()
         viewer.stop()
