@@ -33,7 +33,7 @@ from cubicsdr_tpu.ops.fir import FirFilter
 from cubicsdr_tpu.ops.freqdem import FreqDem
 from cubicsdr_tpu.ops.iir import FirstOrderIIR
 from cubicsdr_tpu.ops.nco import NCOMixer
-from cubicsdr_tpu.ops.resample import RationalResampler, design_ratio
+from cubicsdr_tpu.ops.resample import make_resampler, design_ratio
 from cubicsdr_tpu.stream.op import StreamOp
 
 
@@ -55,8 +55,8 @@ class AnalogKit(StreamOp):
         self.demod = demod
         P, Q = _audio_ratio(sample_rate, audio_rate)
         self.P, self.Q = P, Q
-        self.resampler = RationalResampler(P, Q, batch_shape=batch_shape,
-                                           dtype=jnp.float32)
+        self.resampler = make_resampler(P, Q, batch_shape=batch_shape,
+                                        dtype=jnp.float32)
         self.agc = AutoGain(batch_shape=batch_shape) if auto_gain else None
         self.post = post
         self.audio_rate = audio_rate
@@ -263,8 +263,8 @@ class _CWKit(StreamOp):
     def __init__(self, sample_rate, audio_rate, beep_hz=650.0, gain=15.0,
                  auto=True, batch_shape=()):
         P, Q = _audio_ratio(sample_rate, audio_rate)
-        self.up = RationalResampler(P, Q, batch_shape=batch_shape,
-                                    dtype=jnp.complex64)
+        self.up = make_resampler(P, Q, batch_shape=batch_shape,
+                                 dtype=jnp.complex64)
         self.omega = 2 * np.pi * beep_hz / audio_rate
         self.gain = gain
         self.nco = NCOMixer(batch_shape)
@@ -371,10 +371,10 @@ class _FMStereoKit(StreamOp):
         self.mono_delay = DelayLine((ns - 1) // 2, bs, jnp.float32)
         P, Q = _audio_ratio(sample_rate, audio_rate)
         self.Q = Q
-        self.rs_mono = RationalResampler(P, Q, batch_shape=bs,
-                                         dtype=jnp.float32)
-        self.rs_st = RationalResampler(P, Q, batch_shape=bs,
-                                       dtype=jnp.float32)
+        self.rs_mono = make_resampler(P, Q, batch_shape=bs,
+                                      dtype=jnp.float32)
+        self.rs_st = make_resampler(P, Q, batch_shape=bs,
+                                    dtype=jnp.float32)
         # Audio-rate stereo post chain (batch gains a channel axis of 2).
         self.demph = None
         if demph_us:

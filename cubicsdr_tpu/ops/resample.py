@@ -17,6 +17,7 @@ TPU convolution. Streaming equals one-shot ``scipy.signal.upfirdn`` (tests).
 from __future__ import annotations
 
 from fractions import Fraction
+from functools import lru_cache
 
 import numpy as np
 import jax
@@ -26,11 +27,33 @@ from jax import lax
 from cubicsdr_tpu.stream.op import StreamOp
 from cubicsdr_tpu.ops import design
 
+MAX_DENOMINATOR = 1_000_000
 
-def design_ratio(ratio: float, max_denominator: int = 256) -> tuple[int, int]:
-    """Snap an arbitrary resample ratio to P/Q."""
-    fr = Fraction(ratio).limit_denominator(max_denominator)
-    return fr.numerator, fr.denominator
+
+def design_ratio(ratio: float, max_denominator: int = 256,
+                 tol: float = 1e-3) -> tuple[int, int]:
+    """Snap an arbitrary resample ratio to P/Q within relative error ``tol``.
+
+    The reference's msresamp accepts any real ratio (ref:
+    src/demod/DemodulatorWorkerThread.cpp:95-100); static XLA shapes need a
+    rational. The denominator bound auto-grows until the snap error is within
+    ``tol`` (narrow bandwidths on wide channels need Q >> 256: a 500 Hz CW
+    demod on an 800 kHz channel is exactly 1/1600). Raises if no acceptable
+    rational exists below MAX_DENOMINATOR or the ratio is degenerate —
+    silently returning P=0 (a round-1 bug) muted the demod entirely.
+    """
+    if not (ratio > 0):
+        raise ValueError(f"resample ratio must be positive, got {ratio}")
+    md = max_denominator
+    while True:
+        fr = Fraction(ratio).limit_denominator(md)
+        if fr.numerator > 0 and abs(float(fr) / ratio - 1.0) <= tol:
+            return fr.numerator, fr.denominator
+        if md >= MAX_DENOMINATOR:
+            raise ValueError(
+                f"cannot approximate resample ratio {ratio} to within "
+                f"{tol:g} with denominator <= {MAX_DENOMINATOR}")
+        md *= 10
 
 
 def resampler_taps(P: int, Q: int, taps_per_phase: int = 24,
@@ -131,4 +154,223 @@ class RationalResampler(StreamOp):
 
     def out_len(self, in_len: int) -> int:
         assert in_len % self.Q == 0
+        return in_len // self.Q * self.P
+
+
+# ------------------------------------------------------- multi-stage ----
+
+def _prime_factors(n: int) -> list[int]:
+    out = []
+    d = 2
+    while d * d <= n:
+        while n % d == 0:
+            out.append(d)
+            n //= d
+        d += 1
+    if n > 1:
+        out.append(n)
+    return out
+
+
+def stage_plan(P: int, Q: int, max_stage: int = 64) -> list[tuple[int, int]]:
+    """Decompose a P/Q resample into cascaded rational stages.
+
+    A single polyphase stage with huge Q needs ~24*Q taps (the transition
+    band is 1/Q of the input Nyquist) — a 1/1600 CW decimator would carry a
+    38k-tap filter. Classic multistage decimation splits Q into factors
+    <= max_stage, each stage a stock 60 dB kaiser design. The interpolation
+    factor P rides the FIRST stage so every intermediate rate stays >= the
+    final rate (decimating below the output band first would destroy it).
+    Pure upsampling (P >= Q) stays single-stage: its polyphase branch count
+    grows with P but taps-per-branch stay ~taps_per_phase.
+    """
+    if Q <= max_stage or P >= Q:
+        return [(P, Q)]
+    # Greedy bin-pack the prime factors (largest first) into <= max_stage.
+    packs: list[int] = []
+    for f in sorted(_prime_factors(Q), reverse=True):
+        for i in range(len(packs)):
+            if packs[i] * f <= max_stage:
+                packs[i] *= f
+                break
+        else:
+            packs.append(f)
+    packs.sort(reverse=True)          # decimate hardest at the highest rate
+    return [(P, packs[0])] + [(1, q) for q in packs[1:]]
+
+
+class ResamplerChain(StreamOp):
+    """Multi-stage P/Q resampler (complex64 / real) with the single-stage
+    RationalResampler interface: block length must divide Q, output is
+    exactly in_len*P/Q. Replaces msresamp for extreme ratios (ref:
+    src/demod/DemodulatorWorkerThread.cpp:95-100 handles any ratio)."""
+
+    def __init__(self, P: int, Q: int, batch_shape: tuple = (),
+                 dtype=jnp.complex64, taps_per_phase: int = 24,
+                 as_db: float = 60.0, max_stage: int = 64):
+        self.P, self.Q = int(P), int(Q)
+        self.stages = [
+            RationalResampler(p, q, batch_shape=batch_shape, dtype=dtype,
+                              taps_per_phase=taps_per_phase, as_db=as_db)
+            for p, q in stage_plan(self.P, self.Q, max_stage)]
+        self.batch_shape = batch_shape
+        self.dtype = dtype
+
+    def init_state(self):
+        return tuple(rs.init_state() for rs in self.stages)
+
+    def apply(self, state, x):
+        new = []
+        for rs, s in zip(self.stages, state):
+            s, x = rs.apply(s, x)
+            new.append(s)
+        return tuple(new), x
+
+    def out_len(self, in_len: int) -> int:
+        assert in_len % self.Q == 0
+        return in_len // self.Q * self.P
+
+
+def make_resampler(P: int, Q: int, batch_shape: tuple = (),
+                   dtype=jnp.complex64, taps_per_phase: int = 24,
+                   as_db: float = 60.0, max_stage: int = 64):
+    """Single-stage RationalResampler when the ratio is mild, ResamplerChain
+    when Q needs splitting. Interface-identical either way."""
+    if len(stage_plan(P, Q, max_stage)) == 1:
+        return RationalResampler(P, Q, batch_shape=batch_shape, dtype=dtype,
+                                 taps_per_phase=taps_per_phase, as_db=as_db)
+    return ResamplerChain(P, Q, batch_shape=batch_shape, dtype=dtype,
+                          taps_per_phase=taps_per_phase, as_db=as_db,
+                          max_stage=max_stage)
+
+
+# ---------------------------------------------------- planar (TPU) form ----
+# The TPU hot path carries IQ as two float32 planes (ops/planar.py) and runs
+# each resampler stage as ONE [rows, W] @ [W, O] MXU matmul against a banded
+# Toeplitz tap matrix (the skinny strided-conv form left the MXU ~1%
+# utilized; see BENCH.md round-1 fast-math notes).
+
+def _choose_tile(n_out: int, P: int, lo: int = 64, hi: int = 512,
+                 target: int = 128):
+    cands = [o for o in range(lo, hi + 1) if o % P == 0 and n_out % o == 0]
+    return min(cands, key=lambda o: abs(o - target)) if cands else None
+
+
+@lru_cache(maxsize=None)
+def _toeplitz_np(ker_key, P: int, Q: int, KK: int, O: int):
+    """Banded output-tile matrix T [W, O]: y_tile[m] = sum_i w_s[i]*T[i, m]
+    where m = lb*P + r and t = lb*Q + KK-1 - i indexes ker[r, t]."""
+    ker = np.asarray(ker_key, np.float32).reshape(P, KK)
+    S = (O // P) * Q
+    W = (O // P - 1) * Q + KK
+    T = np.zeros((W, O), np.float32)
+    for m in range(O):
+        lb, r = divmod(m, P)
+        for t in range(KK):
+            i = lb * Q + KK - 1 - t
+            if 0 <= i < W:
+                T[i, m] = ker[r, t]
+    return T, S, W
+
+
+def planar_rational_resample(x, rs: RationalResampler):
+    """Conv-form fallback: apply rs's polyphase kernel to [..., L] data
+    (planar PC or real), input already prefixed with rs.hist_len history."""
+    from cubicsdr_tpu.ops.planar import PC, conv_real
+    start = rs.hist_len + rs.Q - 1 - (rs.KK - 1)
+    ker = np.asarray(rs.ker)
+
+    def one_plane(z):
+        y = conv_real(z[..., None, start:], ker, stride=rs.Q)  # [..., P, T]
+        return jnp.swapaxes(y, -1, -2).reshape(*y.shape[:-2], -1)
+
+    if isinstance(x, PC):
+        return PC(one_plane(x.re), one_plane(x.im))
+    return one_plane(x)
+
+
+def planar_resample_matmul(x, rs: RationalResampler):
+    """MXU form of the rational resampler: overlapping stride-S windows of
+    the stream against a banded [W, O] tap matrix — one big
+    [rows, W] @ [W, O] matmul instead of a skinny strided conv.
+    Falls back to the conv form when no tile divides the output length.
+    Input must be prefixed with rs.hist_len history samples.
+    """
+    from cubicsdr_tpu.ops.planar import PC
+    is_pc = isinstance(x, PC)
+    L = (x.re if is_pc else x).shape[-1] - rs.hist_len
+    n_out = L // rs.Q * rs.P
+    O = _choose_tile(n_out, rs.P)
+    if O is None:
+        return planar_rational_resample(x, rs)
+    T_np, S, W = _toeplitz_np(
+        tuple(np.asarray(rs.ker).reshape(-1).tolist()), rs.P, rs.Q, rs.KK, O)
+    T = jnp.asarray(T_np)
+    start = rs.hist_len + rs.Q - 1 - (rs.KK - 1)
+    n_rows = n_out // O
+    k_sl = -(-W // S)                   # ceil
+    def one_plane(plane):
+        w = plane[..., start:]
+        pad = (n_rows + k_sl - 1) * S - w.shape[-1]
+        wp = jnp.pad(w, [(0, 0)] * (w.ndim - 1) + [(0, max(pad, 0))])
+        A = wp.reshape(*wp.shape[:-1], n_rows + k_sl - 1, S)
+        fr = jnp.concatenate([A[..., i: i + n_rows, :] for i in range(k_sl)],
+                             axis=-1)[..., :W]         # [..., n_rows, W]
+        y = jnp.einsum("...rw,wo->...ro", fr, T,
+                       preferred_element_type=jnp.float32)
+        return y.reshape(*y.shape[:-2], n_out)
+
+    if is_pc:
+        return PC(one_plane(x.re), one_plane(x.im))
+    return one_plane(x)
+
+
+class PlanarResampler(StreamOp):
+    """Stateful multi-stage P/Q resampler on planar-complex (PC) or real
+    float32 data; each stage runs in the MXU Toeplitz-matmul form. State is
+    per-stage history (the sharded receiver halo-exchanges these tails).
+
+    ``apply(state, x)`` with x: PC or real [..., L], L % Q == 0; returns
+    (state, y) with y of length L*P/Q.
+    """
+
+    def __init__(self, P: int, Q: int, batch_shape: tuple = (),
+                 complex_data: bool = True, taps_per_phase: int = 24,
+                 as_db: float = 60.0, max_stage: int = 64):
+        self.P, self.Q = int(P), int(Q)
+        self.stages = [
+            RationalResampler(p, q, taps_per_phase=taps_per_phase,
+                              as_db=as_db)
+            for p, q in stage_plan(self.P, self.Q, max_stage)]
+        self.batch_shape = batch_shape
+        self.complex_data = complex_data
+
+    def init_state(self):
+        from cubicsdr_tpu.ops.planar import pc_zeros
+
+        def z(n):
+            if self.complex_data:
+                return pc_zeros((*self.batch_shape, n))
+            return jnp.zeros((*self.batch_shape, n), jnp.float32)
+
+        return tuple(z(rs.hist_len) for rs in self.stages)
+
+    def apply(self, state, x):
+        from cubicsdr_tpu.ops.planar import PC, pc_concat
+        new = []
+        for rs, h in zip(self.stages, state):
+            if isinstance(x, PC):
+                xh = pc_concat([h, x])
+                y = planar_resample_matmul(xh, rs)
+                new.append(xh.slice_last(
+                    slice(xh.shape[-1] - rs.hist_len, None)))
+            else:
+                xh = jnp.concatenate([h, x], axis=-1)
+                y = planar_resample_matmul(xh, rs)
+                new.append(xh[..., xh.shape[-1] - rs.hist_len:])
+            x = y
+        return tuple(new), x
+
+    def out_len(self, in_len: int) -> int:
+        assert in_len % self.Q == 0, (in_len, self.Q)
         return in_len // self.Q * self.P

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from cubicsdr_tpu.ops.nco import NCOMixer
-from cubicsdr_tpu.ops.resample import RationalResampler, design_ratio
+from cubicsdr_tpu.ops.resample import make_resampler, design_ratio
 from cubicsdr_tpu.stream.op import StreamOp
 
 
@@ -39,8 +39,8 @@ class ChannelFrontend(StreamOp):
         self.nco = NCOMixer(bs)
         P, Q = design_ratio(bandwidth / channel_rate, max_denominator=500)
         self.P, self.Q = P, Q
-        self.resampler = RationalResampler(P, Q, batch_shape=bs,
-                                           dtype=jnp.complex64)
+        self.resampler = make_resampler(P, Q, batch_shape=bs,
+                                        dtype=jnp.complex64)
 
     @property
     def block_multiple(self) -> int:

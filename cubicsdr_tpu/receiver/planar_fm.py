@@ -20,83 +20,14 @@ from cubicsdr_tpu.ops.channelizer import _polyphase, channel_centers
 from cubicsdr_tpu.ops.planar import (
     PC, pc_concat, pc_conv, pc_idft_m, pc_mul, pc_mul_conj, pc_take,
     pc_zeros, phasor, pc_arctan2, conv_real, phasor_ramp_outer, fast_atan2)
-from cubicsdr_tpu.ops.resample import RationalResampler, design_ratio
+from cubicsdr_tpu.ops.resample import (
+    RationalResampler, design_ratio, planar_rational_resample,
+    planar_resample_matmul)
 
 TWO_PI = 2.0 * np.pi
 
-
-def _planar_rational_resample(x: PC | jax.Array, rs: RationalResampler):
-    """Apply rs's polyphase kernel to [..., L] data (planar or real), input
-    already prefixed with rs.hist_len history. Returns same-kind output."""
-    start = rs.hist_len + rs.Q - 1 - (rs.KK - 1)
-    ker = np.asarray(rs.ker)
-
-    def one_plane(z):
-        y = conv_real(z[..., None, start:], ker, stride=rs.Q)  # [..., P, T]
-        return jnp.swapaxes(y, -1, -2).reshape(*y.shape[:-2], -1)
-
-    if isinstance(x, PC):
-        return PC(one_plane(x.re), one_plane(x.im))
-    return one_plane(x)
-
-
-def _choose_tile(n_out: int, P: int, lo: int = 64, hi: int = 512,
-                 target: int = 128):
-    cands = [o for o in range(lo, hi + 1) if o % P == 0 and n_out % o == 0]
-    return min(cands, key=lambda o: abs(o - target)) if cands else None
-
-
-@lru_cache(maxsize=None)
-def _toeplitz_np(ker_key, P: int, Q: int, KK: int, O: int):
-    """Banded output-tile matrix T [W, O]: y_tile[m] = sum_i w_s[i]*T[i, m]
-    where m = lb*P + r and t = lb*Q + KK-1 - i indexes ker[r, t]."""
-    ker = np.asarray(ker_key, np.float32).reshape(P, KK)
-    S = (O // P) * Q
-    W = (O // P - 1) * Q + KK
-    T = np.zeros((W, O), np.float32)
-    for m in range(O):
-        lb, r = divmod(m, P)
-        for t in range(KK):
-            i = lb * Q + KK - 1 - t
-            if 0 <= i < W:
-                T[i, m] = ker[r, t]
-    return T, S, W
-
-
-def planar_resample_matmul(x: PC | jax.Array, rs: RationalResampler):
-    """MXU form of the rational resampler: overlapping stride-S windows of
-    the stream against a banded [W, O] tap matrix — one big
-    [rows, W] @ [W, O] matmul instead of a skinny strided conv (the conv
-    form left the MXU ~1% utilized and dominated the farm's runtime).
-    Falls back to the conv form when no tile divides the output length.
-    """
-    is_pc = isinstance(x, PC)
-    L = (x.re if is_pc else x).shape[-1] - rs.hist_len
-    n_out = L // rs.Q * rs.P
-    O = _choose_tile(n_out, rs.P)
-    if O is None:
-        return _planar_rational_resample(x, rs)
-    T_np, S, W = _toeplitz_np(
-        tuple(np.asarray(rs.ker).reshape(-1).tolist()), rs.P, rs.Q, rs.KK, O)
-    T = jnp.asarray(T_np)
-    start = rs.hist_len + rs.Q - 1 - (rs.KK - 1)
-    n_rows = n_out // O
-    k_sl = -(-W // S)                   # ceil
-
-    def one_plane(plane):
-        w = plane[..., start:]
-        pad = (n_rows + k_sl - 1) * S - w.shape[-1]
-        wp = jnp.pad(w, [(0, 0)] * (w.ndim - 1) + [(0, max(pad, 0))])
-        A = wp.reshape(*wp.shape[:-1], n_rows + k_sl - 1, S)
-        fr = jnp.concatenate([A[..., i: i + n_rows, :] for i in range(k_sl)],
-                             axis=-1)[..., :W]         # [..., n_rows, W]
-        y = jnp.einsum("...rw,wo->...ro", fr, T,
-                       preferred_element_type=jnp.float32)
-        return y.reshape(*y.shape[:-2], n_out)
-
-    if is_pc:
-        return PC(one_plane(x.re), one_plane(x.im))
-    return one_plane(x)
+# Back-compat alias (the helpers now live in ops/resample.py).
+_planar_rational_resample = planar_rational_resample
 
 
 class PlanarFMFarm:
