@@ -30,4 +30,3 @@ Layer map (mirrors SURVEY.md §1, re-architected TPU-first):
 
 __version__ = "0.1.0"
 
-from cubicsdr_tpu.stream.block import IQBlock, AudioBlock  # noqa: F401

@@ -47,6 +47,16 @@ def from_complex(x) -> PC:
               jnp.asarray(x.imag.astype(np.float32)))
 
 
+def as_pc(x) -> PC:
+    """Coerce a complex (or PC) value to planar form. Works under jit on
+    complex tracers (CPU tests); TPU callers pass PC directly since the
+    backend rejects complex64."""
+    if isinstance(x, PC):
+        return x
+    return PC(jnp.real(x).astype(jnp.float32),
+              jnp.imag(x).astype(jnp.float32))
+
+
 def to_complex(x: PC) -> np.ndarray:
     return np.asarray(x.re) + 1j * np.asarray(x.im)
 

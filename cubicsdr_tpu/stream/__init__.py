@@ -9,7 +9,6 @@ receiver chain jits into one XLA program; "queues" become the host-side feeder
 hidden filter objects.
 """
 
-from cubicsdr_tpu.stream.block import IQBlock, AudioBlock
 from cubicsdr_tpu.stream.op import StreamOp, Chain, scan_blocks
 
-__all__ = ["IQBlock", "AudioBlock", "StreamOp", "Chain", "scan_blocks"]
+__all__ = ["StreamOp", "Chain", "scan_blocks"]
