@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from cubicsdr_tpu.stream.op import StreamOp
 from cubicsdr_tpu.ops.fir import fir_block
+from cubicsdr_tpu.ops.planar import PC, dtype_zeros
 
 
 def affine_scan_1st_order(c, d, y_prev):
@@ -74,14 +75,23 @@ class DCBlocker(StreamOp):
         self.dtype = dtype
 
     def init_state(self):
-        return (jnp.zeros(self.batch_shape, self.dtype),   # x[-1]
-                jnp.zeros(self.batch_shape, self.dtype))   # y[-1]
+        return (dtype_zeros(self.batch_shape, self.dtype),   # x[-1]
+                dtype_zeros(self.batch_shape, self.dtype))   # y[-1]
+
+    def _plane(self, x_prev, y_prev, x):
+        xd = jnp.concatenate([x_prev[..., None], x], axis=-1)
+        d = xd[..., 1:] - xd[..., :-1]
+        return affine_scan_1st_order(1.0 - self.alpha, d, y_prev)
 
     def apply(self, state, x):
         x_prev, y_prev = state
-        xd = jnp.concatenate([x_prev[..., None], x], axis=-1)
-        d = xd[..., 1:] - xd[..., :-1]
-        y = affine_scan_1st_order(1.0 - self.alpha, d, y_prev)
+        if isinstance(x, PC):
+            yr = self._plane(x_prev.re, y_prev.re, x.re)
+            yi = self._plane(x_prev.im, y_prev.im, x.im)
+            new = (PC(x.re[..., -1], x.im[..., -1]),
+                   PC(yr[..., -1], yi[..., -1]))
+            return new, PC(yr, yi)
+        y = self._plane(x_prev, y_prev, x)
         return (x[..., -1], y[..., -1]), y
 
 

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from cubicsdr_tpu.stream.op import StreamOp
+from cubicsdr_tpu.ops.planar import PC, pc_mul, phasor_ramp_outer
 
 TWO_PI = 2.0 * jnp.pi
 
@@ -52,6 +53,15 @@ class NCOMixer(StreamOp):
     def apply(self, phase, inputs):
         x, omega = inputs
         omega = jnp.asarray(omega, jnp.float32)
+        if isinstance(x, PC):
+            # Planar fast path: outer-product phasor ramp (2*sqrt(L)
+            # transcendentals instead of 2L — see phasor_ramp_outer).
+            omega_b = (jnp.broadcast_to(omega, self.batch_shape)
+                       if self.batch_shape else omega)
+            rot = phasor_ramp_outer(jnp.asarray(phase, jnp.float32),
+                                    omega_b, x.shape[-1])
+            nxt = jnp.mod(phase + omega_b * x.shape[-1], TWO_PI)
+            return nxt, pc_mul(x, rot)
         if self.batch_shape:
             omega = jnp.broadcast_to(omega, self.batch_shape)
             y, _ = mix(x, phase[..., None], omega[..., None])

@@ -65,6 +65,46 @@ def pc_zeros(shape, dtype=jnp.float32) -> PC:
     return PC(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
 
 
+# Sentinel dtype value: ops constructed with dtype=PLANAR carry planar-complex
+# state/data (two float32 planes) instead of complex64. Streaming ops accept
+# it anywhere they accept jnp.complex64/jnp.float32.
+PLANAR = "pc"
+
+
+def dtype_zeros(shape, dtype):
+    """zeros() that understands the PLANAR sentinel."""
+    if dtype == PLANAR:
+        return pc_zeros(shape)
+    return jnp.zeros(shape, dtype)
+
+
+def dtype_ones(shape, dtype):
+    """ones() (1+0j for complex kinds) understanding the PLANAR sentinel."""
+    if dtype == PLANAR:
+        return PC(jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+    return jnp.ones(shape, dtype)
+
+
+def xcat(parts, axis=-1):
+    """Concatenate arrays or PCs (all parts must be the same kind)."""
+    if isinstance(parts[0], PC):
+        return pc_concat(parts, axis=axis)
+    return jnp.concatenate(parts, axis=axis)
+
+
+def xslice(z, sl):
+    """Slice the last axis of an array or PC."""
+    if isinstance(z, PC):
+        return z.slice_last(sl)
+    return z[..., sl]
+
+
+def xtail(z, n: int):
+    """Last ``n`` samples along the last axis (array or PC)."""
+    L = z.shape[-1] if isinstance(z, PC) else z.shape[-1]
+    return xslice(z, slice(L - n, None))
+
+
 def pc_mul(a: PC, b: PC) -> PC:
     return PC(a.re * b.re - a.im * b.im, a.re * b.im + a.im * b.re)
 

@@ -26,6 +26,7 @@ from jax import lax
 
 from cubicsdr_tpu.stream.op import StreamOp
 from cubicsdr_tpu.ops import design
+from cubicsdr_tpu.ops.planar import PC, dtype_zeros, xcat, xtail
 
 MAX_DENOMINATOR = 1_000_000
 
@@ -117,7 +118,7 @@ class RationalResampler(StreamOp):
         self.hist_len = int(np.ceil((KK - 1) / self.Q)) * self.Q
 
     def init_state(self):
-        return jnp.zeros((*self.batch_shape, self.hist_len), self.dtype)
+        return dtype_zeros((*self.batch_shape, self.hist_len), self.dtype)
 
     def _conv_multi(self, z: jax.Array) -> jax.Array:
         """z: [..., T] -> [..., P, n_blocks] strided-Q multi-filter conv."""
@@ -141,6 +142,11 @@ class RationalResampler(StreamOp):
 
     def apply(self, hist, x):
         assert x.shape[-1] % self.Q == 0, (x.shape, self.Q)
+        if isinstance(x, PC) or not jnp.iscomplexobj(x):
+            # Planar / real: MXU Toeplitz-matmul form (conv fallback inside).
+            z = xcat([hist, x])
+            y = planar_resample_matmul(z, self)
+            return xtail(z, self.hist_len), y
         z = jnp.concatenate([hist, x], axis=-1)
         # First output super-block b=0 corresponds to stream base index
         # hist_len; slice so conv window [base-KK+1 .. base] ends at

@@ -29,9 +29,23 @@ def _conv_real(x: jax.Array, h: jax.Array, stride: int) -> jax.Array:
     return y.reshape(*batch_shape, y.shape[-1])
 
 
-def conv1d(x: jax.Array, h: jax.Array, stride: int = 1) -> jax.Array:
-    """True convolution (VALID) along the last axis; supports complex x and/or
-    complex h via real-plane decomposition. x: [..., L], h: [K]."""
+def conv1d(x, h, stride: int = 1):
+    """True convolution (VALID) along the last axis; supports complex or
+    planar-complex (PC) x and/or complex h via real-plane decomposition.
+    x: [..., L] (array or PC), h: [K]."""
+    from cubicsdr_tpu.ops.planar import PC
+    if isinstance(x, PC):
+        hn = np.asarray(h)
+        if np.iscomplexobj(hn):
+            hr = jnp.asarray(hn.real.astype(np.float32))
+            hi = jnp.asarray(hn.imag.astype(np.float32))
+            rr = _conv_real(x.re, hr, stride)
+            ii = _conv_real(x.im, hi, stride)
+            ri = _conv_real(x.re, hi, stride)
+            ir = _conv_real(x.im, hr, stride)
+            return PC(rr - ii, ri + ir)
+        hr = jnp.asarray(hn.astype(np.float32))
+        return PC(_conv_real(x.re, hr, stride), _conv_real(x.im, hr, stride))
     h = jnp.asarray(h)
     cx = jnp.iscomplexobj(x)
     ch = jnp.iscomplexobj(h)
@@ -76,6 +90,10 @@ def conv1d_grouped(x: jax.Array, hs: jax.Array, stride: int = 1,
     [..., C, (L - (K-1)*dilation - 1)//stride + 1]. Uses
     feature_group_count=C (one group per polyphase branch).
     """
+    from cubicsdr_tpu.ops.planar import PC
+    if isinstance(x, PC):
+        return PC(conv1d_grouped(x.re, hs, stride, dilation),
+                  conv1d_grouped(x.im, hs, stride, dilation))
     if jnp.iscomplexobj(x):
         return (conv1d_grouped(x.real, hs, stride, dilation)
                 + 1j * conv1d_grouped(x.imag, hs, stride, dilation)
