@@ -17,6 +17,12 @@ Parity map (all ref paths under src/modules/modem/analog/):
   IQ        : stereo passthrough (imag, real) (ModemIQ.cpp:31-57)
 
 Each kit is a StreamOp: (state, iq[..., L]) -> (state, audio[..., C, Lout]).
+
+Representation: every kit is *planes-first* — the IQ input may be complex64
+(CPU tests) or planar PC (the TPU representation; the backend rejects
+complex64), and the demod math runs on real (re, im) planes either way.
+``build_kit(..., dtype=PLANAR)`` selects planar state for the stages that
+carry complex history (resamplers, freqdem prev-sample).
 """
 
 from __future__ import annotations
@@ -29,10 +35,11 @@ from cubicsdr_tpu.modems.base import (
     Modem, ModemArg, register_modem, MIN_BANDWIDTH, DEFAULT_AUDIO_RATE)
 from cubicsdr_tpu.ops import design
 from cubicsdr_tpu.ops.agc import AutoGain
-from cubicsdr_tpu.ops.fir import FirFilter
+from cubicsdr_tpu.ops.fir import FirFilter, DelayLine, fir_block
 from cubicsdr_tpu.ops.freqdem import FreqDem
 from cubicsdr_tpu.ops.iir import FirstOrderIIR
 from cubicsdr_tpu.ops.nco import NCOMixer
+from cubicsdr_tpu.ops.planar import planes_of
 from cubicsdr_tpu.ops.resample import make_resampler, design_ratio
 from cubicsdr_tpu.stream.op import StreamOp
 
@@ -78,31 +85,6 @@ class AnalogKit(StreamOp):
         return (sd, sa, sr, sp), a[..., None, :]   # mono channel axis
 
 
-class _FnDemod(StreamOp):
-    """Stateless per-block demod function wrapper."""
-
-    def __init__(self, fn):
-        self.fn = fn
-
-    def apply(self, state, x):
-        return state, self.fn(x)
-
-
-class _ChainDemod(StreamOp):
-    def __init__(self, *ops):
-        self.ops = ops
-
-    def init_state(self):
-        return tuple(op.init_state() for op in self.ops)
-
-    def apply(self, state, x):
-        out = []
-        for op, s in zip(self.ops, state):
-            s, x = op.apply(s, x)
-            out.append(s)
-        return tuple(out), x
-
-
 class _AnalogModem(Modem):
     auto_gain = False
 
@@ -110,13 +92,14 @@ class _AnalogModem(Modem):
         _, Q = _audio_ratio(sample_rate, audio_rate)
         return Q
 
-    def _demod_op(self, sample_rate, audio_rate, batch_shape):
+    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype):
         raise NotImplementedError
 
     def build_kit(self, sample_rate, audio_rate=DEFAULT_AUDIO_RATE,
-                  batch_shape=()):
-        return AnalogKit(self._demod_op(sample_rate, audio_rate, batch_shape),
-                         sample_rate, audio_rate, self.auto_gain, batch_shape)
+                  batch_shape=(), dtype=jnp.complex64):
+        return AnalogKit(
+            self._demod_op(sample_rate, audio_rate, batch_shape, dtype),
+            sample_rate, audio_rate, self.auto_gain, batch_shape)
 
 
 @register_modem
@@ -124,8 +107,8 @@ class ModemFM(_AnalogModem):
     name = "FM"
     default_sample_rate = 200000
 
-    def _demod_op(self, sample_rate, audio_rate, batch_shape):
-        return FreqDem(kf=0.5, batch_shape=batch_shape)
+    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype):
+        return FreqDem(kf=0.5, batch_shape=batch_shape, dtype=dtype)
 
 
 @register_modem
@@ -133,8 +116,8 @@ class ModemNBFM(_AnalogModem):
     name = "NBFM"
     default_sample_rate = 12500
 
-    def _demod_op(self, sample_rate, audio_rate, batch_shape):
-        return FreqDem(kf=0.5, batch_shape=batch_shape)
+    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype):
+        return FreqDem(kf=0.5, batch_shape=batch_shape, dtype=dtype)
 
 
 class _EnvelopeDC(StreamOp):
@@ -153,7 +136,9 @@ class _EnvelopeDC(StreamOp):
         return self.fir.init_state()
 
     def apply(self, state, x):
-        return self.fir.apply(state, jnp.abs(x).astype(jnp.float32))
+        re, im = planes_of(x)
+        env = jnp.sqrt(re * re + im * im)
+        return self.fir.apply(state, env)
 
 
 @register_modem
@@ -165,7 +150,7 @@ class ModemAM(_AnalogModem):
     def uses_signal_output(self):
         return True
 
-    def _demod_op(self, sample_rate, audio_rate, batch_shape):
+    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype):
         return _EnvelopeDC(batch_shape)
 
 
@@ -181,12 +166,15 @@ class _DSBDemod(StreamOp):
         return jnp.zeros((*self.batch_shape, 2), jnp.float32)  # smoothed c2 vec
 
     def apply(self, c2, x):
-        m2 = jnp.mean(x * x, axis=-1)
-        vec = jnp.stack([m2.real, m2.imag], axis=-1)
+        re, im = planes_of(x)
+        m2r = jnp.mean(re * re - im * im, axis=-1)
+        m2i = jnp.mean(2.0 * re * im, axis=-1)
+        vec = jnp.stack([m2r, m2i], axis=-1)
         c2 = c2 + (vec - c2) * self.rate
         phi2 = jnp.arctan2(c2[..., 1], c2[..., 0])
-        rot = jnp.exp(-0.5j * phi2)[..., None]
-        return c2, (x * rot).real.astype(jnp.float32)
+        cr = jnp.cos(-0.5 * phi2)[..., None]
+        ci = jnp.sin(-0.5 * phi2)[..., None]
+        return c2, (re * cr - im * ci).astype(jnp.float32)
 
 
 @register_modem
@@ -198,24 +186,35 @@ class ModemDSB(_AnalogModem):
     def uses_signal_output(self):
         return True
 
-    def _demod_op(self, sample_rate, audio_rate, batch_shape):
+    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype):
         return _DSBDemod(batch_shape)
 
 
 class _SSBDemod(StreamOp):
+    """One-sided complex-tap FIR -> Re{.}. Planes-first: Re{conv(x, h)} =
+    conv(re, h.re) - conv(im, h.im) — exactly TWO real convolutions (the
+    complex form would lower to four)."""
+
     def __init__(self, sample_rate, upper: bool, batch_shape=()):
         taps_len = min(257, design.kaiser_filter_len(
             max(200.0 / sample_rate, 0.002), 60.0) | 1)
-        h = design.ssb_bandpass(taps_len, sample_rate, sample_rate,
-                                upper=upper)
-        self.fir = FirFilter(h, batch_shape, dtype=jnp.complex64)
+        h = np.asarray(design.ssb_bandpass(taps_len, sample_rate, sample_rate,
+                                           upper=upper))
+        self.h_re = h.real.astype(np.float32)
+        self.h_im = h.imag.astype(np.float32)
+        self.k = len(h)
+        self.batch_shape = batch_shape
 
     def init_state(self):
-        return self.fir.init_state()
+        shape = (*self.batch_shape, self.k - 1)
+        return (jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
 
     def apply(self, state, x):
-        state, y = self.fir.apply(state, x)
-        return state, y.real.astype(jnp.float32)
+        hr, hi = state
+        re, im = planes_of(x)
+        hr, yr = fir_block(hr, re, self.h_re)
+        hi, yi = fir_block(hi, im, self.h_im)
+        return (hr, hi), yr - yi
 
 
 def _even_rate(sample_rate, audio_rate):
@@ -234,7 +233,7 @@ class ModemUSB(_AnalogModem):
     def uses_signal_output(self):
         return True
 
-    def _demod_op(self, sample_rate, audio_rate, batch_shape):
+    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype):
         return _SSBDemod(sample_rate, upper=True, batch_shape=batch_shape)
 
 
@@ -249,7 +248,7 @@ class ModemLSB(_AnalogModem):
     def uses_signal_output(self):
         return True
 
-    def _demod_op(self, sample_rate, audio_rate, batch_shape):
+    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype):
         return _SSBDemod(sample_rate, upper=False, batch_shape=batch_shape)
 
 
@@ -261,10 +260,9 @@ class _CWKit(StreamOp):
     """
 
     def __init__(self, sample_rate, audio_rate, beep_hz=650.0, gain=15.0,
-                 auto=True, batch_shape=()):
+                 auto=True, batch_shape=(), dtype=jnp.complex64):
         P, Q = _audio_ratio(sample_rate, audio_rate)
-        self.up = make_resampler(P, Q, batch_shape=batch_shape,
-                                 dtype=jnp.complex64)
+        self.up = make_resampler(P, Q, batch_shape=batch_shape, dtype=dtype)
         self.omega = 2 * np.pi * beep_hz / audio_rate
         self.gain = gain
         self.nco = NCOMixer(batch_shape)
@@ -278,7 +276,8 @@ class _CWKit(StreamOp):
         s_up, s_n, s_a = state
         s_up, y = self.up.apply(s_up, x)
         s_n, y = self.nco.apply(s_n, (y, self.omega))
-        a = (y.real * self.gain).astype(jnp.float32)
+        re, _ = planes_of(y)
+        a = (re * self.gain).astype(jnp.float32)
         if self.agc:
             s_a, a = self.agc.apply(s_a, a)
         return (s_up, s_n, s_a), a[..., None, :]
@@ -304,11 +303,11 @@ class ModemCW(_AnalogModem):
         return True
 
     def build_kit(self, sample_rate, audio_rate=DEFAULT_AUDIO_RATE,
-                  batch_shape=()):
+                  batch_shape=(), dtype=jnp.complex64):
         return _CWKit(sample_rate, audio_rate,
                       float(self.settings["offset"]),
                       float(self.settings["gain"]),
-                      str(self.settings["auto"]) == "on", batch_shape)
+                      str(self.settings["auto"]) == "on", batch_shape, dtype)
 
 
 class _IQKit(StreamOp):
@@ -316,7 +315,8 @@ class _IQKit(StreamOp):
     (ref: ModemIQ.cpp:39-57)."""
 
     def apply(self, state, x):
-        audio = jnp.stack([x.imag, x.real], axis=-2).astype(jnp.float32)
+        re, im = planes_of(x)
+        audio = jnp.stack([im, re], axis=-2).astype(jnp.float32)
         return state, audio
 
 
@@ -332,7 +332,7 @@ class ModemIQ(Modem):
         return int(audio_rate)
 
     def build_kit(self, sample_rate, audio_rate=DEFAULT_AUDIO_RATE,
-                  batch_shape=()):
+                  batch_shape=(), dtype=jnp.complex64):
         return _IQKit()
 
 
@@ -343,30 +343,38 @@ class _FMStereoKit(StreamOp):
     bandpass ; S = Im[LPF( m * conj(p^2/|p|^2) )] } -> resample M,S ->
     L,R = 0.568*(M -/+ S) -> optional de-emphasis -> 16 kHz kaiser LPF pair
     (ref: ModemFMStereo.cpp:100-121 for the LPF spec, 271-299 for the matrix).
+
+    Everything after the discriminator is REAL math: the analytic pilot is
+    two real FIRs (re/im of the one-sided taps on the real composite), and
+    because the S-subcarrier LPF has real taps, Im{LPF(v)} = LPF(Im{v}) —
+    only the imaginary plane of the down-mixed subcarrier is ever filtered.
+    No complex arrays anywhere, so the same kit runs on CPU and TPU.
     """
 
-    def __init__(self, sample_rate, audio_rate, demph_us, batch_shape=()):
+    def __init__(self, sample_rate, audio_rate, demph_us, batch_shape=(),
+                 dtype=jnp.complex64):
         bs = batch_shape
-        self.freqdem = FreqDem(0.5, bs)
+        self.freqdem = FreqDem(0.5, bs, dtype=dtype)
         # Analytic pilot bandpass: one-sided complex FIR centered at +19 kHz,
         # +-500 Hz passband (ref pilot: cheby2 bandpass 19000..19500,
-        # ModemFMStereo.cpp:126-135).
+        # ModemFMStereo.cpp:126-135). Split into re/im real tap sets.
         n = design.kaiser_filter_len(1000.0 / sample_rate, 60.0) | 1
         n = min(n, 1023)
         lp = design.kaiser_lowpass(n, 500.0 / sample_rate, 60.0)
         t = np.arange(n) - (n - 1) / 2
-        hp = (2.0 * lp * np.exp(2j * np.pi * 19000.0 / sample_rate * t)
-              ).astype(np.complex64)
-        self.pilot_fir = FirFilter(hp, bs, dtype=jnp.float32)
-        # Complex LPF extracting the down-mixed S (15 kHz wide).
+        hp = 2.0 * lp * np.exp(2j * np.pi * 19000.0 / sample_rate * t)
+        self.hp_re = hp.real.astype(np.float32)
+        self.hp_im = hp.imag.astype(np.float32)
+        self.n_pilot = n
+        self.bs = bs
+        # Real LPF extracting the down-mixed S plane (15 kHz wide).
         ns = design.kaiser_filter_len(4000.0 / sample_rate, 60.0) | 1
         hs = design.kaiser_lowpass(ns, 16000.0 / sample_rate, 60.0)
-        self.s_fir = FirFilter(hs, bs, dtype=jnp.complex64)
+        self.s_fir = FirFilter(hs, bs, dtype=jnp.float32)
         # Align the composite with the pilot filter's group delay before
         # mixing with the squared-pilot reference (otherwise the 38 kHz
         # reference is phase-rotated by 2*w_p*delay and separation collapses),
         # then give the mono path the S-LPF's delay on top.
-        from cubicsdr_tpu.ops.fir import DelayLine
         self.pre_delay = DelayLine((n - 1) // 2, bs, jnp.float32)
         self.mono_delay = DelayLine((ns - 1) // 2, bs, jnp.float32)
         P, Q = _audio_ratio(sample_rate, audio_rate)
@@ -386,7 +394,10 @@ class _FMStereoKit(StreamOp):
         self.audio_fir = FirFilter(ha, (*bs, 2), dtype=jnp.float32)
 
     def init_state(self):
-        return (self.freqdem.init_state(), self.pilot_fir.init_state(),
+        np_hist = (*self.bs, self.n_pilot - 1)
+        return (self.freqdem.init_state(),
+                (jnp.zeros(np_hist, jnp.float32),
+                 jnp.zeros(np_hist, jnp.float32)),      # pilot re/im hists
                 self.pre_delay.init_state(), self.s_fir.init_state(),
                 self.mono_delay.init_state(),
                 self.rs_mono.init_state(), self.rs_st.init_state(),
@@ -394,18 +405,21 @@ class _FMStereoKit(StreamOp):
                 self.audio_fir.init_state())
 
     def apply(self, state, x):
-        s_fd, s_p, s_pd, s_s, s_md, s_rm, s_rs, s_de, s_af = state
+        s_fd, (s_pr, s_pi), s_pd, s_s, s_md, s_rm, s_rs, s_de, s_af = state
         s_fd, m = self.freqdem.apply(s_fd, x)
-        # Analytic pilot & 38 kHz reference by squaring.
-        s_p, p = self.pilot_fir.apply(s_p, m)
-        p2 = p * p
-        ref = p2 / (jnp.abs(p2) + 1e-12)
+        # Analytic pilot (two real FIRs) & 38 kHz reference by squaring.
+        s_pr, pr = fir_block(s_pr, m, self.hp_re)
+        s_pi, pi = fir_block(s_pi, m, self.hp_im)
+        p2r = pr * pr - pi * pi
+        p2i = 2.0 * pr * pi
+        mag = jnp.sqrt(p2r * p2r + p2i * p2i) + 1e-12
+        ref_r, ref_i = p2r / mag, p2i / mag
         # Composite delayed to match the pilot path's group delay.
         s_pd, m_al = self.pre_delay.apply(s_pd, m)
-        # Down-mix the 38 kHz DSB subcarrier to DC; S = Im part after LPF.
-        s_s, z = self.s_fir.apply(
-            s_s, m_al.astype(jnp.complex64) * jnp.conj(ref))
-        s_band = 2.0 * z.imag.astype(jnp.float32)
+        # Down-mix the 38 kHz DSB subcarrier to DC; S = Im after real-tap
+        # LPF = LPF(Im{m_al * conj(ref)}) = LPF(-m_al * ref_i).
+        s_s, z_im = self.s_fir.apply(s_s, -m_al * ref_i)
+        s_band = 2.0 * z_im
         s_md, m_d = self.mono_delay.apply(s_md, m_al)
         s_rm, mono = self.rs_mono.apply(s_rm, m_d)
         s_rs, ster = self.rs_st.apply(s_rs, s_band)
@@ -418,8 +432,8 @@ class _FMStereoKit(StreamOp):
         if self.demph:
             s_de, lr = self.demph.apply(s_de, lr)
         s_af, lr = self.audio_fir.apply(s_af, lr)
-        return ((s_fd, s_p, s_pd, s_s, s_md, s_rm, s_rs, s_de, s_af),
-                lr.astype(jnp.float32))
+        return ((s_fd, (s_pr, s_pi), s_pd, s_s, s_md, s_rm, s_rs, s_de,
+                 s_af), lr.astype(jnp.float32))
 
 
 @register_modem
@@ -443,6 +457,6 @@ class ModemFMStereo(Modem):
         return Q
 
     def build_kit(self, sample_rate, audio_rate=DEFAULT_AUDIO_RATE,
-                  batch_shape=()):
+                  batch_shape=(), dtype=jnp.complex64):
         return _FMStereoKit(sample_rate, audio_rate,
-                            int(self.settings["demph"]), batch_shape)
+                            int(self.settings["demph"]), batch_shape, dtype)

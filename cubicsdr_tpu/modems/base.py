@@ -99,7 +99,11 @@ class Modem:
 
     # --- kit construction ---
     def build_kit(self, sample_rate: int, audio_rate: int = DEFAULT_AUDIO_RATE,
-                  batch_shape: tuple = ()) -> StreamOp:
+                  batch_shape: tuple = (), dtype=jnp.complex64) -> StreamOp:
+        """``dtype`` selects the IQ representation the kit's carried state
+        uses: jnp.complex64 (CPU tests) or ops.planar.PLANAR (TPU — the
+        backend rejects complex64). Kits are planes-first so the math is
+        identical either way."""
         raise NotImplementedError
 
     def uses_signal_output(self) -> bool:

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from cubicsdr_tpu.modems.base import Modem, ModemArg, register_modem
-from cubicsdr_tpu.ops.freqdem import freqdem_block
+from cubicsdr_tpu.ops.planar import planes_of
 from cubicsdr_tpu.stream.op import StreamOp
 
 LOCK_EVM = 0.005      # ref: ModemDigital.cpp:52-54
@@ -107,26 +107,35 @@ class ConstellationKit(StreamOp):
         self.batch_shape = batch_shape
 
     def init_state(self):
+        # Differential prev-sample carried as real planes: one state layout
+        # for both the complex64 and planar (PC) input representations.
         if self.differential:
-            return jnp.ones(self.batch_shape, jnp.complex64)
+            return (jnp.ones(self.batch_shape, jnp.float32),
+                    jnp.zeros(self.batch_shape, jnp.float32))
         return ()
 
     def apply(self, state, x):
+        xr, xi = planes_of(x)
         if self.differential:
-            z = jnp.concatenate([state[..., None], x], axis=-1)
-            sym_in = z[..., 1:] * jnp.conj(z[..., :-1])
-            new_state = x[..., -1]
-            # normalize ring amplitude for the phase-difference slice
-            sym_in = sym_in / jnp.maximum(jnp.abs(z[..., :-1]), 1e-9)
+            pr, pi = state
+            zr = jnp.concatenate([pr[..., None], xr], axis=-1)
+            zi = jnp.concatenate([pi[..., None], xi], axis=-1)
+            # z[1:] * conj(z[:-1]), normalized by |z[:-1]| for the
+            # phase-difference slice.
+            br, bi = zr[..., :-1], zi[..., :-1]
+            mag = jnp.maximum(jnp.sqrt(br * br + bi * bi), 1e-9)
+            sr = (zr[..., 1:] * br + zi[..., 1:] * bi) / mag
+            si = (zi[..., 1:] * br - zr[..., 1:] * bi) / mag
+            new_state = (xr[..., -1], xi[..., -1])
         else:
-            sym_in, new_state = x, state
-        scores = (2.0 * (sym_in.real[..., None] * self.pts_re
-                         + sym_in.imag[..., None] * self.pts_im)
+            sr, si, new_state = xr, xi, state
+        scores = (2.0 * (sr[..., None] * self.pts_re
+                         + si[..., None] * self.pts_im)
                   - self.pts2)
         syms = jnp.argmax(scores, axis=-1).astype(jnp.int32)
-        nearest = (jnp.take(self.pts_re, syms)
-                   + 1j * jnp.take(self.pts_im, syms))
-        evm = jnp.mean(jnp.abs(sym_in - nearest) ** 2, axis=-1)
+        nre = jnp.take(self.pts_re, syms)
+        nim = jnp.take(self.pts_im, syms)
+        evm = jnp.mean((sr - nre) ** 2 + (si - nim) ** 2, axis=-1)
         return new_state, {"symbols": syms, "evm": evm,
                            "locked": evm < LOCK_EVM}
 
@@ -153,11 +162,14 @@ class FSKKit(StreamOp):
 
     def apply(self, state, x):
         assert x.shape[-1] % self.k == 0
-        fr = x.reshape(*x.shape[:-1], x.shape[-1] // self.k, self.k)
-        cr = jnp.einsum("...sk,mk->...sm", fr.real, self.bank_re) \
-            - jnp.einsum("...sk,mk->...sm", fr.imag, self.bank_im)
-        ci = jnp.einsum("...sk,mk->...sm", fr.real, self.bank_im) \
-            + jnp.einsum("...sk,mk->...sm", fr.imag, self.bank_re)
+        xr, xi = planes_of(x)
+        n_sym = xr.shape[-1] // self.k
+        fr_r = xr.reshape(*xr.shape[:-1], n_sym, self.k)
+        fr_i = xi.reshape(*xi.shape[:-1], n_sym, self.k)
+        cr = jnp.einsum("...sk,mk->...sm", fr_r, self.bank_re) \
+            - jnp.einsum("...sk,mk->...sm", fr_i, self.bank_im)
+        ci = jnp.einsum("...sk,mk->...sm", fr_r, self.bank_im) \
+            + jnp.einsum("...sk,mk->...sm", fr_i, self.bank_re)
         energy = cr * cr + ci * ci
         syms = jnp.argmax(energy, axis=-1).astype(jnp.int32)
         best = jnp.max(energy, axis=-1)
@@ -176,11 +188,19 @@ class GMSKKit(StreamOp):
         self.batch_shape = batch_shape
 
     def init_state(self):
-        return jnp.ones(self.batch_shape, jnp.complex64)
+        return (jnp.ones(self.batch_shape, jnp.float32),
+                jnp.zeros(self.batch_shape, jnp.float32))
 
     def apply(self, prev, x):
         assert x.shape[-1] % self.sps == 0
-        prev, d = freqdem_block(prev, x, kf=0.5)
+        xr, xi = planes_of(x)
+        pr, pi = prev
+        zr = jnp.concatenate([pr[..., None], xr], axis=-1)
+        zi = jnp.concatenate([pi[..., None], xi], axis=-1)
+        dr = zr[..., 1:] * zr[..., :-1] + zi[..., 1:] * zi[..., :-1]
+        di = zi[..., 1:] * zr[..., :-1] - zr[..., 1:] * zi[..., :-1]
+        d = jnp.arctan2(di, dr) * np.float32(1.0 / np.pi)   # kf = 0.5
+        prev = (xr[..., -1], xi[..., -1])
         fr = d.reshape(*d.shape[:-1], d.shape[-1] // self.sps, self.sps)
         soft = jnp.mean(fr, axis=-1)
         syms = (soft > 0).astype(jnp.int32)
@@ -222,7 +242,8 @@ def _const_modem(name_, points_fn, default_rate=200000, orders=None,
                 m = len(np.atleast_1d(points_fn()))
             return max(1, int(np.log2(m)))
 
-        def build_kit(self, sample_rate, audio_rate=48000, batch_shape=()):
+        def build_kit(self, sample_rate, audio_rate=48000, batch_shape=(),
+                      dtype=None):
             if orders:
                 m = int(self.settings.get("cons", default_order))
                 pts = points_fn(m)
@@ -276,7 +297,8 @@ class ModemFSK(_DigitalModem):
     def block_multiple(self, sample_rate, audio_rate=48000):
         return max(int(sample_rate) // int(self.settings["sps"]), 1)
 
-    def build_kit(self, sample_rate, audio_rate=48000, batch_shape=()):
+    def build_kit(self, sample_rate, audio_rate=48000, batch_shape=(),
+                  dtype=None):
         k = max(int(sample_rate) // int(self.settings["sps"]), 1)
         return FSKKit(int(self.settings["bps"]), k,
                       float(self.settings["bw"]), batch_shape)
@@ -294,7 +316,8 @@ class ModemGMSK(_DigitalModem):
     def block_multiple(self, sample_rate, audio_rate=48000):
         return int(self.settings["sps"])
 
-    def build_kit(self, sample_rate, audio_rate=48000, batch_shape=()):
+    def build_kit(self, sample_rate, audio_rate=48000, batch_shape=(),
+                  dtype=None):
         return GMSKKit(int(self.settings["sps"]), batch_shape)
 
 

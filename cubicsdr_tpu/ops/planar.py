@@ -105,6 +105,23 @@ def xtail(z, n: int):
     return xslice(z, slice(L - n, None))
 
 
+def planes_of(x):
+    """(re, im) float32 planes of a PC or complex array — the planes-first
+    idiom: demod kits compute in real planes so ONE code path serves both
+    the complex64 (CPU test) and planar (TPU) representations."""
+    if isinstance(x, PC):
+        return x.re, x.im
+    return (jnp.real(x).astype(jnp.float32),
+            jnp.imag(x).astype(jnp.float32))
+
+
+def join_like(re, im, like):
+    """Assemble (re, im) into the same representation as ``like``."""
+    if isinstance(like, PC):
+        return PC(re, im)
+    return (re + 1j * im).astype(jnp.complex64)
+
+
 def pc_mul(a: PC, b: PC) -> PC:
     return PC(a.re * b.re - a.im * b.im, a.re * b.im + a.im * b.re)
 
