@@ -32,15 +32,15 @@ class ChannelFrontend(StreamOp):
     """
 
     def __init__(self, channel_rate: float, bandwidth: float,
-                 n_demods: int, batch_shape: tuple = ()):
+                 n_demods: int, batch_shape: tuple = (),
+                 dtype=jnp.complex64):
         self.channel_rate = float(channel_rate)
         self.bandwidth = float(bandwidth)
         bs = (*batch_shape, n_demods)
         self.nco = NCOMixer(bs)
         P, Q = design_ratio(bandwidth / channel_rate, max_denominator=500)
         self.P, self.Q = P, Q
-        self.resampler = make_resampler(P, Q, batch_shape=bs,
-                                        dtype=jnp.complex64)
+        self.resampler = make_resampler(P, Q, batch_shape=bs, dtype=dtype)
 
     @property
     def block_multiple(self) -> int:

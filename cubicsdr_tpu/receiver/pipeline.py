@@ -15,6 +15,19 @@ Retunes, squelch levels, gains, mutes: traced inputs (no recompile).
 Add/remove/retype demods: host rebuilds the plan (the reference rebuilds
 kits on a worker thread for the same reason, ref: DemodulatorWorkerThread
 .cpp:54-109).
+
+Representation: ``dtype=jnp.complex64`` (CPU tests) or
+``dtype=ops.planar.PLANAR`` — two float32 planes, the TPU representation
+(the TPU backend rejects complex64). ONE pipeline class serves both: all
+stages are planes-first, so the planar program is the same math compiled
+on real arrays, plus the optional fused Pallas channelizer.
+
+Digital demod groups (modem_type == "digital") ride the same chain: their
+kits emit symbol streams instead of audio (ref: ModemDigital.cpp:56-83),
+the signal meter runs on their channel IQ, and they contribute nothing to
+the audio mix (matching the reference, where digital modems never push to
+the audio queue — src/demod/DemodulatorThread.cpp:237-247 guards on
+modemType).
 """
 
 from __future__ import annotations
@@ -32,6 +45,7 @@ from cubicsdr_tpu.modems import make_modem
 from cubicsdr_tpu.ops.channelizer import (
     ChannelizerPFB, ChannelizerPFB2, channel_centers)
 from cubicsdr_tpu.ops.iir import DCBlocker
+from cubicsdr_tpu.ops.planar import PC, PLANAR, pc_take
 from cubicsdr_tpu.receiver.frontend import ChannelFrontend, shift_omegas
 from cubicsdr_tpu.receiver.mixer import mix_audio
 from cubicsdr_tpu.receiver.squelch import SquelchGate
@@ -63,11 +77,13 @@ class ReceiverPipeline(StreamOp):
 
     def __init__(self, sample_rate: float, groups: list[DemodGroupSpec],
                  chan_mode: str = "pfbch2", num_channels: int | None = None,
-                 audio_rate: int = 48000, block_len: int | None = None):
+                 audio_rate: int = 48000, block_len: int | None = None,
+                 dtype=jnp.complex64, use_pallas: bool = False):
         self.sample_rate = float(sample_rate)
         self.audio_rate = int(audio_rate)
         self.chan_mode = chan_mode
         self.groups = list(groups)
+        self.dtype = dtype
         if chan_mode == "single":
             self.M = 1
             self.chan_rate = self.sample_rate
@@ -81,31 +97,41 @@ class ReceiverPipeline(StreamOp):
         self.frontends = []
         self.kits = []
         self.gates = []
+        self.is_digital = []
         for g in self.groups:
             modem = make_modem(g.modem_name, **g.settings_dict)
             bw = modem.check_sample_rate(g.bandwidth, audio_rate)
-            fe = ChannelFrontend(self.chan_rate, bw, g.count)
-            kit = modem.build_kit(bw, audio_rate, batch_shape=(g.count,))
-            gate = SquelchGate(audio_rate, g.count,
-                               use_signal_out=[modem.uses_signal_output()]
-                               * g.count)
+            digital = modem.modem_type == "digital"
+            fe = ChannelFrontend(self.chan_rate, bw, g.count, dtype=dtype)
+            kit = modem.build_kit(bw, audio_rate, batch_shape=(g.count,),
+                                  dtype=dtype)
+            if digital:
+                # Signal meter runs on the bandwidth-rate IQ; symbol modems
+                # have no audio to gate.
+                gate = SquelchGate(bw, g.count)
+            else:
+                gate = SquelchGate(audio_rate, g.count,
+                                   use_signal_out=[modem.uses_signal_output()]
+                                   * g.count)
             self._modems.append(modem)
             self.frontends.append(fe)
             self.kits.append(kit)
             self.gates.append(gate)
+            self.is_digital.append(digital)
 
         # Channelizer + DC blocker (channel 0 carries the tuner DC spike,
         # ref: SDRPostThread.cpp:364-375).
         if chan_mode == "pfbch":
-            self.channelizer = ChannelizerPFB(self.M)
+            self.channelizer = ChannelizerPFB(self.M, dtype=dtype)
             self._decim = self.M
         elif chan_mode == "pfbch2":
-            self.channelizer = ChannelizerPFB2(self.M)
+            self.channelizer = ChannelizerPFB2(self.M, dtype=dtype,
+                                               use_pallas=use_pallas)
             self._decim = self.M // 2
         else:
             self.channelizer = None
             self._decim = 1
-        self.dc = DCBlocker(0.0005)
+        self.dc = DCBlocker(0.0005, dtype=dtype)
 
         self.block_len = block_len or self.choose_block_len()
         self._check_lengths()
@@ -140,8 +166,10 @@ class ReceiverPipeline(StreamOp):
             assert lc % fe.Q == 0, (
                 f"block_len {L} -> channel len {lc} not divisible by "
                 f"frontend Q={fe.Q}; use choose_block_len()")
-        # Audio lengths must agree across groups for mixing.
+        # Audio lengths must agree across (analog) groups for mixing.
         for gi, fe in enumerate(self.frontends):
+            if self.is_digital[gi]:
+                continue
             o1 = fe.out_len(lc)
             la = self._kit_out_len(gi, o1)
             outs.add(la)
@@ -151,7 +179,8 @@ class ReceiverPipeline(StreamOp):
         self.audio_len = outs.pop() if outs else 0
 
     def _kit_out_len(self, gi, in_len):
-        # All kits resample bandwidth -> audio_rate with exact rationals.
+        # All analog kits resample bandwidth -> audio_rate with exact
+        # rationals.
         from cubicsdr_tpu.ops.resample import design_ratio
         fe = self.frontends[gi]
         P, Q = design_ratio(self.audio_rate / fe.bandwidth,
@@ -190,22 +219,29 @@ class ReceiverPipeline(StreamOp):
     def apply(self, state, inputs):
         """inputs = (iq[..., L], controls list-of-dicts). Returns
         (state, outputs) with outputs:
-          mix[..., 2, La], mix_peak, per-group dicts (audio, level, floor,
-          ceil, peak, squelched), iq passthrough for the visual taps."""
+          mix[..., 2, La], mix_peak, per-group dicts (analog: audio, level,
+          floor, ceil, peak, squelched; digital: symbols, evm, locked,
+          level, floor, ceil, squelched), iq passthrough for visual taps."""
         iq, controls = inputs
         st_chan = state["chan"]
         st_dc = state["dc"]
+        planar = isinstance(iq, PC)
 
         if self.channelizer is not None:
             st_chan, chans = self.channelizer.apply(st_chan, iq)
             # DC-block channel 0 (tuner spike).
             st_dc, ch0 = self.dc.apply(st_dc, chans[..., 0, :])
-            chans = chans.at[..., 0, :].set(ch0)
+            if planar:
+                chans = PC(chans.re.at[..., 0, :].set(ch0.re),
+                           chans.im.at[..., 0, :].set(ch0.im))
+            else:
+                chans = chans.at[..., 0, :].set(ch0)
             centers = jnp.asarray(
                 channel_centers(self.M, self.sample_rate), jnp.float32)
         else:
             st_dc, dcq = self.dc.apply(st_dc, iq)
-            chans = dcq[..., None, :]
+            chans = (PC(dcq.re[..., None, :], dcq.im[..., None, :])
+                     if planar else dcq[..., None, :])
             centers = jnp.zeros((1,), jnp.float32)
 
         group_states = []
@@ -224,25 +260,34 @@ class ReceiverPipeline(StreamOp):
             # src/sdr/SDRPostThread.cpp:128-139).
             dist = jnp.abs(freqs[:, None] - centers[None, :])
             chan_idx = jnp.argmin(dist, axis=-1)
-            x = jnp.take(chans, chan_idx, axis=-2)          # [..., N, Lc]
+            x = (pc_take(chans, chan_idx, axis=-2) if planar
+                 else jnp.take(chans, chan_idx, axis=-2))    # [..., N, Lc]
             omega = shift_omegas(freqs, centers[chan_idx], self.chan_rate)
             s_fe, y = fe.apply(s_fe, (x, omega))
-            s_kit, audio = kit.apply(s_kit, y)              # [..., N, C, La]
-            s_gate, gout = gate.apply(
-                s_gate, (audio, y, ctl["squelch_level"],
-                         ctl["squelch_enabled"]))
+            s_kit, ko = kit.apply(s_kit, y)
+            if self.is_digital[gi]:
+                # Symbol modem: no audio; meter the channel IQ
+                # (ref: DemodulatorThread.cpp:142-196 still levels IQ).
+                s_gate, gout = gate.apply(
+                    s_gate, (None, y, ctl["squelch_level"],
+                             ctl["squelch_enabled"]))
+                gout.update(ko)        # symbols / evm / locked
+            else:
+                s_gate, gout = gate.apply(
+                    s_gate, (ko, y, ctl["squelch_level"],
+                             ctl["squelch_enabled"]))
+                a = gout["audio"]
+                if a.shape[-2] == 1:                        # mono -> stereo
+                    a = jnp.concatenate([a, a], axis=-2)
+                audio_all.append(a)
+                peaks_all.append(gout["peak"])
+                gains_all.append(jnp.asarray(ctl["gain"], jnp.float32))
+                active_all.append(jnp.asarray(ctl["active"], jnp.float32))
             # Per-demod IQ tap (the IQActiveDemodVisualDataOutput analog,
             # ref: SDRPostThread.cpp:233-245) for demod spectrum/scope views.
             gout["iq"] = y
             group_states.append((s_fe, s_kit, s_gate))
             group_outs.append(gout)
-            a = gout["audio"]
-            if a.shape[-2] == 1:                            # mono -> stereo
-                a = jnp.concatenate([a, a], axis=-2)
-            audio_all.append(a)
-            peaks_all.append(gout["peak"])
-            gains_all.append(jnp.asarray(ctl["gain"], jnp.float32))
-            active_all.append(jnp.asarray(ctl["active"], jnp.float32))
 
         if audio_all:
             audio_cat = jnp.concatenate(audio_all, axis=-3)

@@ -15,6 +15,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from cubicsdr_tpu.ops.planar import planes_of
 from cubicsdr_tpu.stream.op import StreamOp
 
 SMALL = 1e-20
@@ -30,6 +31,11 @@ class SquelchGate(StreamOp):
     (state, dict(audio, squelched, level, floor, ceil, peak)).
 
     ``use_signal_out`` (bool per batch row) selects audio-vs-IQ level source.
+
+    Digital groups pass ``audio=None`` (symbol modems emit no audio in the
+    reference either; the signal meter still runs on IQ —
+    ref: DemodulatorThread.cpp:142-196): level/floor/ceil/squelched come from
+    the IQ magnitude, measured at ``sample_rate`` = the IQ rate.
     """
 
     def __init__(self, sample_rate: float, n_demods: int,
@@ -53,15 +59,20 @@ class SquelchGate(StreamOp):
     def apply(self, state, inputs):
         audio, iq, squelch_level, squelch_enabled = inputs
         # Reference sampleTime = len(iq)/iqRate; the audio block spans the
-        # same duration, so measure it on the audio side.
-        sample_time = audio.shape[-1] / self.sample_rate
+        # same duration, so measure it on whichever signal exists.
+        ref = audio if audio is not None else iq
+        sample_time = ref.shape[-1] / self.sample_rate
 
-        lvl_audio = linear_to_db(jnp.mean(jnp.abs(audio), axis=(-2, -1)))
         if iq is not None:
-            lvl_iq = linear_to_db(jnp.mean(jnp.abs(iq), axis=-1))
-            current = jnp.where(self.use_signal_out, lvl_audio, lvl_iq)
+            re, im = planes_of(iq)   # complex64 or planar PC
+            lvl_iq = linear_to_db(jnp.mean(jnp.sqrt(re * re + im * im),
+                                           axis=-1))
+        if audio is not None:
+            lvl_audio = linear_to_db(jnp.mean(jnp.abs(audio), axis=(-2, -1)))
+            current = (jnp.where(self.use_signal_out, lvl_audio, lvl_iq)
+                       if iq is not None else lvl_audio)
         else:
-            current = lvl_audio
+            current = lvl_iq
 
         sf, sc = state["floor"], state["ceil"]
         sl = jnp.asarray(squelch_level, jnp.float32)
@@ -82,12 +93,12 @@ class SquelchGate(StreamOp):
         # ref: DemodulatorThread.cpp:198-220).
         sq_break = jnp.asarray(squelch_enabled, jnp.bool_) & ~squelched
 
-        peak = jnp.max(jnp.abs(audio), axis=(-2, -1))
-        gated = jnp.where(squelched[..., None, None],
-                          jnp.zeros_like(audio), audio)
         new_state = {"level": lvl, "floor": sf, "ceil": sc,
                      "squelch_break": sq_break}
-        return new_state, {
-            "audio": gated, "squelched": squelched, "level": lvl,
-            "floor": sf, "ceil": sc, "peak": peak,
-        }
+        out = {"squelched": squelched, "level": lvl,
+               "floor": sf, "ceil": sc}
+        if audio is not None:
+            out["peak"] = jnp.max(jnp.abs(audio), axis=(-2, -1))
+            out["audio"] = jnp.where(squelched[..., None, None],
+                                     jnp.zeros_like(audio), audio)
+        return new_state, out
