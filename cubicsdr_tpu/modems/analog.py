@@ -58,13 +58,15 @@ class AnalogKit(StreamOp):
 
     def __init__(self, demod: StreamOp, sample_rate: int, audio_rate: int,
                  auto_gain: bool, batch_shape: tuple = (),
-                 post: StreamOp | None = None):
+                 post: StreamOp | None = None,
+                 time_axis: str | None = None):
         self.demod = demod
         P, Q = _audio_ratio(sample_rate, audio_rate)
         self.P, self.Q = P, Q
         self.resampler = make_resampler(P, Q, batch_shape=batch_shape,
                                         dtype=jnp.float32)
-        self.agc = AutoGain(batch_shape=batch_shape) if auto_gain else None
+        self.agc = (AutoGain(batch_shape=batch_shape, time_axis=time_axis)
+                    if auto_gain else None)
         self.post = post
         self.audio_rate = audio_rate
 
@@ -84,6 +86,23 @@ class AnalogKit(StreamOp):
             sp, a = self.post.apply(sp, a)
         return (sd, sa, sr, sp), a[..., None, :]   # mono channel axis
 
+    # --- time-sharding: demod core by its own kind, AGC replicated
+    # (collective ceiling via time_axis), audio resampler halo on the
+    # demodulated signal. ---
+    def shard_carries(self):
+        assert self.post is None, "post stage not shardable"
+        return (self.demod.shard_carries(),
+                self.agc.init_state() if self.agc else (),
+                self.resampler.shard_carries())
+
+    def shard_apply(self, carries, x, axis):
+        cd, sa, cr = carries
+        cd, a = self.demod.shard_apply(cd, x, axis)
+        if self.agc:
+            sa, a = self.agc.apply(sa, a)
+        cr, a = self.resampler.shard_apply(cr, a, axis)
+        return (cd, sa, cr), a[..., None, :]
+
 
 class _AnalogModem(Modem):
     auto_gain = False
@@ -92,14 +111,17 @@ class _AnalogModem(Modem):
         _, Q = _audio_ratio(sample_rate, audio_rate)
         return Q
 
-    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype):
+    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype,
+                  time_axis=None):
         raise NotImplementedError
 
     def build_kit(self, sample_rate, audio_rate=DEFAULT_AUDIO_RATE,
-                  batch_shape=(), dtype=jnp.complex64):
+                  batch_shape=(), dtype=jnp.complex64, time_axis=None):
         return AnalogKit(
-            self._demod_op(sample_rate, audio_rate, batch_shape, dtype),
-            sample_rate, audio_rate, self.auto_gain, batch_shape)
+            self._demod_op(sample_rate, audio_rate, batch_shape, dtype,
+                           time_axis),
+            sample_rate, audio_rate, self.auto_gain, batch_shape,
+            time_axis=time_axis)
 
 
 @register_modem
@@ -107,7 +129,8 @@ class ModemFM(_AnalogModem):
     name = "FM"
     default_sample_rate = 200000
 
-    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype):
+    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype,
+                  time_axis=None):
         return FreqDem(kf=0.5, batch_shape=batch_shape, dtype=dtype)
 
 
@@ -116,7 +139,8 @@ class ModemNBFM(_AnalogModem):
     name = "NBFM"
     default_sample_rate = 12500
 
-    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype):
+    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype,
+                  time_axis=None):
         return FreqDem(kf=0.5, batch_shape=batch_shape, dtype=dtype)
 
 
@@ -124,13 +148,16 @@ class _EnvelopeDC(StreamOp):
     """|IQ| envelope -> FIR DC blocker (delta minus narrow lowpass), the AM
     detector (ref: ModemAM.cpp:7-10,40-48: 25-wide dc blocker, 30 dB)."""
 
-    def __init__(self, batch_shape=()):
+    def __init__(self, batch_shape=(), dtype=jnp.complex64):
         n = 51
         lp = design.kaiser_lowpass(n, 0.004, 30.0)
         lp = lp / lp.sum()
         h = -lp
         h[(n - 1) // 2] += 1.0
         self.fir = FirFilter(h, batch_shape, dtype=jnp.float32)
+        self.batch_shape = batch_shape
+        self.dtype = dtype
+        self._k = n
 
     def init_state(self):
         return self.fir.init_state()
@@ -139,6 +166,21 @@ class _EnvelopeDC(StreamOp):
         re, im = planes_of(x)
         env = jnp.sqrt(re * re + im * im)
         return self.fir.apply(state, env)
+
+    # Time-sharding: the FIR history is the envelope of the input tail
+    # (|.| is memoryless), so the halo is the raw IQ tail.
+    shard_kind = "tail"
+
+    def shard_halo_len(self) -> int:
+        return self._k - 1
+
+    def state_from_tail(self, tail):
+        re, im = planes_of(tail)
+        return jnp.sqrt(re * re + im * im)
+
+    def shard_carry_init(self):
+        from cubicsdr_tpu.ops.planar import dtype_zeros
+        return dtype_zeros((*self.batch_shape, self._k - 1), self.dtype)
 
 
 @register_modem
@@ -150,17 +192,23 @@ class ModemAM(_AnalogModem):
     def uses_signal_output(self):
         return True
 
-    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype):
-        return _EnvelopeDC(batch_shape)
+    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype,
+                  time_axis=None):
+        return _EnvelopeDC(batch_shape, dtype=dtype)
 
 
 class _DSBDemod(StreamOp):
     """Suppressed-carrier coherent detect with block squaring carrier recovery:
     phi2 = EMA of arg(mean(x^2)); y = Re{x * exp(-j*phi2/2)}."""
 
-    def __init__(self, batch_shape=(), rate=0.2):
+    # Time-sharding: the carrier EMA is block-granular; with time_axis set
+    # the block mean becomes a pmean so the state stays replicated.
+    shard_kind = "replicated"
+
+    def __init__(self, batch_shape=(), rate=0.2, time_axis=None):
         self.batch_shape = batch_shape
         self.rate = rate
+        self.time_axis = time_axis
 
     def init_state(self):
         return jnp.zeros((*self.batch_shape, 2), jnp.float32)  # smoothed c2 vec
@@ -169,6 +217,9 @@ class _DSBDemod(StreamOp):
         re, im = planes_of(x)
         m2r = jnp.mean(re * re - im * im, axis=-1)
         m2i = jnp.mean(2.0 * re * im, axis=-1)
+        if self.time_axis is not None:
+            m2r = jax.lax.pmean(m2r, self.time_axis)
+            m2i = jax.lax.pmean(m2i, self.time_axis)
         vec = jnp.stack([m2r, m2i], axis=-1)
         c2 = c2 + (vec - c2) * self.rate
         phi2 = jnp.arctan2(c2[..., 1], c2[..., 0])
@@ -186,8 +237,9 @@ class ModemDSB(_AnalogModem):
     def uses_signal_output(self):
         return True
 
-    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype):
-        return _DSBDemod(batch_shape)
+    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype,
+                  time_axis=None):
+        return _DSBDemod(batch_shape, time_axis=time_axis)
 
 
 class _SSBDemod(StreamOp):
@@ -195,7 +247,8 @@ class _SSBDemod(StreamOp):
     conv(re, h.re) - conv(im, h.im) — exactly TWO real convolutions (the
     complex form would lower to four)."""
 
-    def __init__(self, sample_rate, upper: bool, batch_shape=()):
+    def __init__(self, sample_rate, upper: bool, batch_shape=(),
+                 dtype=jnp.complex64):
         taps_len = min(257, design.kaiser_filter_len(
             max(200.0 / sample_rate, 0.002), 60.0) | 1)
         h = np.asarray(design.ssb_bandpass(taps_len, sample_rate, sample_rate,
@@ -204,6 +257,7 @@ class _SSBDemod(StreamOp):
         self.h_im = h.imag.astype(np.float32)
         self.k = len(h)
         self.batch_shape = batch_shape
+        self.dtype = dtype
 
     def init_state(self):
         shape = (*self.batch_shape, self.k - 1)
@@ -215,6 +269,19 @@ class _SSBDemod(StreamOp):
         hr, yr = fir_block(hr, re, self.h_re)
         hi, yi = fir_block(hi, im, self.h_im)
         return (hr, hi), yr - yi
+
+    # Time-sharding: state = planes of the input tail.
+    shard_kind = "tail"
+
+    def shard_halo_len(self) -> int:
+        return self.k - 1
+
+    def state_from_tail(self, tail):
+        return planes_of(tail)
+
+    def shard_carry_init(self):
+        from cubicsdr_tpu.ops.planar import dtype_zeros
+        return dtype_zeros((*self.batch_shape, self.k - 1), self.dtype)
 
 
 def _even_rate(sample_rate, audio_rate):
@@ -233,8 +300,10 @@ class ModemUSB(_AnalogModem):
     def uses_signal_output(self):
         return True
 
-    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype):
-        return _SSBDemod(sample_rate, upper=True, batch_shape=batch_shape)
+    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype,
+                  time_axis=None):
+        return _SSBDemod(sample_rate, upper=True, batch_shape=batch_shape,
+                         dtype=dtype)
 
 
 @register_modem
@@ -248,8 +317,10 @@ class ModemLSB(_AnalogModem):
     def uses_signal_output(self):
         return True
 
-    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype):
-        return _SSBDemod(sample_rate, upper=False, batch_shape=batch_shape)
+    def _demod_op(self, sample_rate, audio_rate, batch_shape, dtype,
+                  time_axis=None):
+        return _SSBDemod(sample_rate, upper=False, batch_shape=batch_shape,
+                         dtype=dtype)
 
 
 class _CWKit(StreamOp):
@@ -260,13 +331,16 @@ class _CWKit(StreamOp):
     """
 
     def __init__(self, sample_rate, audio_rate, beep_hz=650.0, gain=15.0,
-                 auto=True, batch_shape=(), dtype=jnp.complex64):
+                 auto=True, batch_shape=(), dtype=jnp.complex64,
+                 time_axis=None):
         P, Q = _audio_ratio(sample_rate, audio_rate)
         self.up = make_resampler(P, Q, batch_shape=batch_shape, dtype=dtype)
         self.omega = 2 * np.pi * beep_hz / audio_rate
         self.gain = gain
         self.nco = NCOMixer(batch_shape)
-        self.agc = AutoGain(batch_shape=batch_shape) if auto else None
+        self.agc = (AutoGain(batch_shape=batch_shape, time_axis=time_axis)
+                    if auto else None)
+        self.batch_shape = batch_shape
 
     def init_state(self):
         return (self.up.init_state(), self.nco.init_state(),
@@ -281,6 +355,28 @@ class _CWKit(StreamOp):
         if self.agc:
             s_a, a = self.agc.apply(s_a, a)
         return (s_up, s_n, s_a), a[..., None, :]
+
+    # Time-sharding: resampler halo; beep NCO phase is closed-form in the
+    # shard index; AGC replicated.
+    def shard_carries(self):
+        return (self.up.shard_carries(),
+                jnp.zeros(self.batch_shape, jnp.float32),
+                self.agc.init_state() if self.agc else ())
+
+    def shard_apply(self, carries, x, axis):
+        from cubicsdr_tpu.ops.planar import PC
+        from cubicsdr_tpu.parallel.shardable import nco_shard_mix
+        c_up, base, s_a = carries
+        c_up, y = self.up.shard_apply(c_up, x, axis)
+        omega = jnp.full(self.batch_shape, self.omega, jnp.float32)
+        if isinstance(y, PC):
+            base, y = nco_shard_mix(base, omega, y, axis)
+            a = y.re * np.float32(self.gain)
+        else:
+            raise NotImplementedError("sharded CW is planar-only")
+        if self.agc:
+            s_a, a = self.agc.apply(s_a, a)
+        return (c_up, base, s_a), a[..., None, :]
 
 
 @register_modem
@@ -303,16 +399,19 @@ class ModemCW(_AnalogModem):
         return True
 
     def build_kit(self, sample_rate, audio_rate=DEFAULT_AUDIO_RATE,
-                  batch_shape=(), dtype=jnp.complex64):
+                  batch_shape=(), dtype=jnp.complex64, time_axis=None):
         return _CWKit(sample_rate, audio_rate,
                       float(self.settings["offset"]),
                       float(self.settings["gain"]),
-                      str(self.settings["auto"]) == "on", batch_shape, dtype)
+                      str(self.settings["auto"]) == "on", batch_shape, dtype,
+                      time_axis)
 
 
 class _IQKit(StreamOp):
     """Stereo passthrough: (left, right) = (imag, real)
     (ref: ModemIQ.cpp:39-57)."""
+
+    shard_kind = "stateless"
 
     def apply(self, state, x):
         re, im = planes_of(x)
@@ -332,7 +431,7 @@ class ModemIQ(Modem):
         return int(audio_rate)
 
     def build_kit(self, sample_rate, audio_rate=DEFAULT_AUDIO_RATE,
-                  batch_shape=(), dtype=jnp.complex64):
+                  batch_shape=(), dtype=jnp.complex64, time_axis=None):
         return _IQKit()
 
 
@@ -457,6 +556,6 @@ class ModemFMStereo(Modem):
         return Q
 
     def build_kit(self, sample_rate, audio_rate=DEFAULT_AUDIO_RATE,
-                  batch_shape=(), dtype=jnp.complex64):
+                  batch_shape=(), dtype=jnp.complex64, time_axis=None):
         return _FMStereoKit(sample_rate, audio_rate,
                             int(self.settings["demph"]), batch_shape, dtype)

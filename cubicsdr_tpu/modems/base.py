@@ -99,11 +99,15 @@ class Modem:
 
     # --- kit construction ---
     def build_kit(self, sample_rate: int, audio_rate: int = DEFAULT_AUDIO_RATE,
-                  batch_shape: tuple = (), dtype=jnp.complex64) -> StreamOp:
+                  batch_shape: tuple = (), dtype=jnp.complex64,
+                  time_axis: str | None = None) -> StreamOp:
         """``dtype`` selects the IQ representation the kit's carried state
         uses: jnp.complex64 (CPU tests) or ops.planar.PLANAR (TPU — the
         backend rejects complex64). Kits are planes-first so the math is
-        identical either way."""
+        identical either way. ``time_axis``: mesh axis name when the block's
+        time axis is sharded (parallel/sharded.py) — block-statistic stages
+        (AGC, carrier EMAs) then use collectives so their state stays
+        replicated across time shards."""
         raise NotImplementedError
 
     def uses_signal_output(self) -> bool:

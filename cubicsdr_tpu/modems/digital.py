@@ -105,6 +105,20 @@ class ConstellationKit(StreamOp):
         self.pts2 = jnp.asarray((np.abs(pts) ** 2).astype(np.float32))
         self.differential = differential
         self.batch_shape = batch_shape
+        # Time-sharding: differential slicing carries the previous sample.
+        self.shard_kind = "tail" if differential else "stateless"
+
+    def shard_halo_len(self):
+        return 1
+
+    def state_from_tail(self, tail):
+        re, im = planes_of(tail)
+        return (re[..., 0], im[..., 0])
+
+    def shard_carry_init(self):
+        from cubicsdr_tpu.ops.planar import PC
+        return PC(jnp.ones((*self.batch_shape, 1), jnp.float32),
+                  jnp.zeros((*self.batch_shape, 1), jnp.float32))
 
     def init_state(self):
         # Differential prev-sample carried as real planes: one state layout
@@ -145,6 +159,8 @@ class FSKKit(StreamOp):
     argmax), fskdem semantics (m bits, k = rate/sps samples per symbol,
     normalized bandwidth bw; ref: ModemFSK.cpp:102-150)."""
 
+    shard_kind = "stateless"
+
     def __init__(self, m_bits: int, k: int, bw: float,
                  batch_shape: tuple = ()):
         self.m = 1 << m_bits
@@ -182,6 +198,20 @@ class FSKKit(StreamOp):
 class GMSKKit(StreamOp):
     """GMSK via discriminator + integrate-and-dump at sps samples/symbol
     (gmskdem stand-in; ref: ModemGMSK.cpp:95-134)."""
+
+    shard_kind = "tail"
+
+    def shard_halo_len(self):
+        return 1
+
+    def state_from_tail(self, tail):
+        re, im = planes_of(tail)
+        return (re[..., 0], im[..., 0])
+
+    def shard_carry_init(self):
+        from cubicsdr_tpu.ops.planar import PC
+        return PC(jnp.ones((*self.batch_shape, 1), jnp.float32),
+                  jnp.zeros((*self.batch_shape, 1), jnp.float32))
 
     def __init__(self, sps: int, batch_shape: tuple = ()):
         self.sps = int(sps)
@@ -243,7 +273,7 @@ def _const_modem(name_, points_fn, default_rate=200000, orders=None,
             return max(1, int(np.log2(m)))
 
         def build_kit(self, sample_rate, audio_rate=48000, batch_shape=(),
-                      dtype=None):
+                      dtype=None, time_axis=None):
             if orders:
                 m = int(self.settings.get("cons", default_order))
                 pts = points_fn(m)
@@ -298,7 +328,7 @@ class ModemFSK(_DigitalModem):
         return max(int(sample_rate) // int(self.settings["sps"]), 1)
 
     def build_kit(self, sample_rate, audio_rate=48000, batch_shape=(),
-                  dtype=None):
+                  dtype=None, time_axis=None):
         k = max(int(sample_rate) // int(self.settings["sps"]), 1)
         return FSKKit(int(self.settings["bps"]), k,
                       float(self.settings["bw"]), batch_shape)
@@ -317,7 +347,7 @@ class ModemGMSK(_DigitalModem):
         return int(self.settings["sps"])
 
     def build_kit(self, sample_rate, audio_rate=48000, batch_shape=(),
-                  dtype=None):
+                  dtype=None, time_axis=None):
         return GMSKKit(int(self.settings["sps"]), batch_shape)
 
 

@@ -15,11 +15,16 @@ from cubicsdr_tpu.stream.op import StreamOp
 
 
 class AutoGain(StreamOp):
+    """``time_axis``: when the block's time axis is sharded over a mesh axis
+    (parallel/sharded.py), the per-block ceiling becomes a pmax over that
+    axis so the EMA state stays replicated-identical on every time shard."""
+
     def __init__(self, rate: float = 0.025, target: float = 0.5,
-                 batch_shape: tuple = ()):
+                 batch_shape: tuple = (), time_axis: str | None = None):
         self.rate = float(rate)
         self.target = float(target)
         self.batch_shape = batch_shape
+        self.time_axis = time_axis
 
     def init_state(self):
         # Distinct arrays (shared objects break buffer donation).
@@ -35,5 +40,7 @@ class AutoGain(StreamOp):
         ceil_ma = ceil_ma + (ceil_prev - ceil_ma) * self.rate
         ceil_maa = ceil_maa + (ceil_ma - ceil_maa) * self.rate
         ceil = jnp.max(x, axis=-1)
+        if self.time_axis is not None:
+            ceil = jax.lax.pmax(ceil, self.time_axis)
         gain = self.target / jnp.maximum(ceil_maa, 1e-9)
         return (ceil, ceil_ma, ceil_maa), x * gain[..., None]

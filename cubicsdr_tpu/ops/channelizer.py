@@ -111,6 +111,22 @@ class ChannelizerPFB(StreamOp):
             return jnp.swapaxes(G, -1, -2)
         return _pc_map(f, tail)
 
+    # Time-sharding: raw-sample tail -> framed history.
+    shard_kind = "tail"
+
+    def shard_halo_len(self) -> int:
+        return self.hist_len
+
+    def state_from_tail(self, tail):
+        return self.hist_from_samples(tail)
+
+    def shard_carry_init(self):
+        shape = (*self.batch_shape, self.hist_len)
+        if self.dtype == PLANAR:
+            return PC(jnp.zeros(shape, jnp.float32),
+                      jnp.zeros(shape, jnp.float32))
+        return jnp.zeros(shape, jnp.complex64)
+
     def apply(self, hist, x):
         assert x.shape[-1] % self.M == 0
         n_frames = x.shape[-1] // self.M
@@ -230,6 +246,19 @@ class ChannelizerPFB2(StreamOp):
 
             return _pc_map(fir, G)
         return conv1d_grouped(G, self.h_poly, dilation=2)
+
+    # Time-sharding: state = (raw sample tail, step parity); with an even
+    # local step count the parity is shard-invariant (asserted by callers).
+    shard_kind = "tail"
+
+    def shard_halo_len(self) -> int:
+        return self.hist_len
+
+    def state_from_tail(self, tail):
+        return (tail, jnp.zeros((), jnp.int32))
+
+    def shard_carry_init(self):
+        return self.init_state()[0]
 
     def apply(self, state, x):
         samp_hist, parity = state

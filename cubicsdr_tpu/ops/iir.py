@@ -94,6 +94,51 @@ class DCBlocker(StreamOp):
         y = self._plane(x_prev, y_prev, x)
         return (x[..., -1], y[..., -1]), y
 
+    # --- time-sharding: EXACT cross-shard composition of the recurrence.
+    # The local scan with zero initial state is affine in the true initial
+    # state: y[n] = y0[n] + a^{n+1} * s0. Each shard publishes its zero-state
+    # end value E via one small all_gather; shard t then reconstructs its
+    # true s0 = a^L*... prefix locally. ---
+    def shard_carries(self):
+        from cubicsdr_tpu.ops.planar import dtype_zeros
+        return (dtype_zeros((*self.batch_shape, 1), self.dtype),   # x tail
+                dtype_zeros(self.batch_shape, self.dtype))         # y @ end
+
+    def shard_apply(self, carries, x, axis):
+        import jax as _jax
+        from cubicsdr_tpu.parallel.halo import streaming_halo
+        c_x, y_end = carries
+        z, new_cx = streaming_halo(x, 1, c_x, axis)
+        a = 1.0 - self.alpha
+        t = _jax.lax.axis_index(axis)
+        n_t = _jax.lax.psum(1, axis)
+
+        def plane(zp, y_end_p):
+            L = zp.shape[-1] - 1
+            d = zp[..., 1:] - zp[..., :-1]
+            y0 = affine_scan_1st_order(a, d, jnp.zeros_like(y_end_p))
+            E = y0[..., -1]                       # zero-state end value
+            F = jnp.float32(a) ** L               # decay across one shard
+            Es = _jax.lax.all_gather(E, axis)     # [n_t, ...]
+            j = jnp.arange(Es.shape[0], dtype=jnp.float32)
+            tf = jnp.asarray(t, jnp.float32)
+            w = jnp.where(j < tf, F ** (tf - 1.0 - j), 0.0)
+            s0 = (F ** tf) * y_end_p + jnp.tensordot(w, Es, axes=(0, 0))
+            pw = jnp.float32(a) ** jnp.arange(1, L + 1, dtype=jnp.float32)
+            y = y0 + pw * s0[..., None]
+            ntf = jnp.float32(n_t)
+            w_all = F ** (ntf - 1.0 - j)
+            y_end_new = (F ** ntf) * y_end_p + jnp.tensordot(
+                w_all, Es, axes=(0, 0))
+            return y, y_end_new
+
+        if isinstance(x, PC):
+            yr, er = plane(z.re, y_end.re)
+            yi, ei = plane(z.im, y_end.im)
+            return (new_cx, PC(er, ei)), PC(yr, yi)
+        y, e = plane(z, y_end)
+        return (new_cx, e), y
+
 
 class SOSFilter(StreamOp):
     """Cascaded biquads (scipy sos layout [n_sections, 6]) with streaming state.

@@ -140,6 +140,15 @@ class RationalResampler(StreamOp):
                     ).astype(jnp.complex64)
         return real_conv(z)
 
+    # Time-sharding: the carried state IS the input tail.
+    shard_kind = "tail"
+
+    def shard_halo_len(self) -> int:
+        return self.hist_len
+
+    def shard_carry_init(self):
+        return self.init_state()
+
     def apply(self, hist, x):
         assert x.shape[-1] % self.Q == 0, (x.shape, self.Q)
         if isinstance(x, PC) or not jnp.iscomplexobj(x):
@@ -230,6 +239,19 @@ class ResamplerChain(StreamOp):
         for rs, s in zip(self.stages, state):
             s, x = rs.apply(s, x)
             new.append(s)
+        return tuple(new), x
+
+    # Time-sharding: each stage halo-exchanges its own (intermediate) input
+    # tail — in_len % Q guarantees every stage's local length divides its q.
+    def shard_carries(self):
+        return tuple(rs.shard_carry_init() for rs in self.stages)
+
+    def shard_apply(self, carries, x, axis):
+        from cubicsdr_tpu.parallel.shardable import shard_stage
+        new = []
+        for rs, c in zip(self.stages, carries):
+            c, x = shard_stage(rs, c, x, axis)
+            new.append(c)
         return tuple(new), x
 
     def out_len(self, in_len: int) -> int:

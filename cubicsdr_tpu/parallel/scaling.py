@@ -48,17 +48,17 @@ def measure_scaling(sample_rate: float = 2_400_000, num_channels: int = 16,
         iq = rx.shard_iq((rng.standard_normal(rx.block_len)
                           + 1j * rng.standard_normal(rx.block_len))
                          .astype(np.complex64))
-        freqs = jax.device_put(
-            jnp.linspace(-sample_rate / 4, sample_rate / 4, rx.n_demods)
-            .astype(jnp.float32),
-            jax.sharding.NamedSharding(mesh, P("chan")))
+        controls = rx.control_template()
+        controls[0]["frequency"] = np.linspace(
+            -sample_rate / 4, sample_rate / 4, rx.n_demods
+        ).astype(np.float32)
         for _ in range(warmup):
-            state, audio, mix, level = step(state, iq, freqs)
-        jax.block_until_ready((audio, mix))
+            state, outs = step(state, iq, controls)
+        jax.block_until_ready(outs)
         t0 = time.perf_counter()
         for _ in range(n_iters):
-            state, audio, mix, level = step(state, iq, freqs)
-        jax.block_until_ready((audio, mix))
+            state, outs = step(state, iq, controls)
+        jax.block_until_ready(outs)
         dt = time.perf_counter() - t0
         msps = rx.block_len * n_iters / dt / 1e6
         rows.append({"devices": n, "block_len": rx.block_len,

@@ -1,20 +1,26 @@
 """ShardedReceiver — the multi-chip receive pipeline.
 
-Shards the flagship chain (wideband channelize -> N-demodulator FM farm ->
-mix) over a ('time', 'chan') mesh:
+Shards the unified ReceiverPipeline chain (wideband channelize -> routed
+mixed-modem demod farm -> squelch -> mix) over a ('time', 'chan') mesh in
+the PLANAR representation (the one the TPU backend runs):
 
   * 'time': the IQ block is split into contiguous slices per device. Every
     FIR-like stage consumes (history, samples); the history is the previous
-    shard's tail via one cyclic ppermute per stage (parallel/halo.py). The
-    cyclic wrap carries streaming state across blocks for free. NCO phase
-    continuity is closed-form: a carried per-demod phase base plus
-    omega * (shard_index * local_len).
+    shard's tail via one cyclic ppermute per stage (parallel/halo.py +
+    the StreamOp time-sharding protocol, stream/op.py). The cyclic wrap
+    carries streaming state across blocks for free. NCO phase continuity is
+    closed-form: a carried per-demod phase base plus omega * t_idx * L_local.
+    Block-statistic stages (AGC, carrier EMAs, squelch meters) keep
+    replicated state via pmean/pmax collectives; the channel-0 DC blocker
+    composes its IIR recurrence exactly across shards (ops/iir.py).
   * 'chan': demodulator rows are split across devices (embarrassingly
     parallel); the final mix is a psum over 'chan'.
 
 This is the TPU translation of the reference's axes (SURVEY.md §2.11): its
 thread pipeline becomes 'time', its per-demod threads become 'chan', and the
-in-process queues become ICI collectives.
+in-process queues become ICI collectives. The demod math itself is the SAME
+modem-kit objects the single-chip pipeline runs — sharding is a driver, not
+a reimplementation.
 """
 
 from __future__ import annotations
@@ -26,55 +32,106 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
+from cubicsdr_tpu.modems import make_modem
 from cubicsdr_tpu.ops.channelizer import ChannelizerPFB2, channel_centers
-from cubicsdr_tpu.ops.freqdem import freqdem_block
-from cubicsdr_tpu.ops.resample import RationalResampler, design_ratio
-from cubicsdr_tpu.parallel.halo import streaming_halo
+from cubicsdr_tpu.ops.iir import DCBlocker
+from cubicsdr_tpu.ops.planar import PC, PLANAR, from_complex, pc_take
 from cubicsdr_tpu.parallel.mesh import make_receiver_mesh
+from cubicsdr_tpu.receiver.frontend import ChannelFrontend, shift_omegas
+from cubicsdr_tpu.receiver.pipeline import DemodGroupSpec
+from cubicsdr_tpu.receiver.squelch import SquelchGate
 
 TWO_PI = 2.0 * np.pi
 
 
-class ShardedReceiver:
-    """Fixed-plan FM farm: M-channel PFBCH2 + n_demods FM receivers.
+def _add_time(tree):
+    return jax.tree.map(lambda a: a[None], tree)
 
-    block_len is the GLOBAL samples per step; it must divide into
-    n_time equal shards with each shard a multiple of the stage block
-    multiples (checked at construction).
+
+def _strip_time(tree):
+    return jax.tree.map(lambda a: a[0], tree)
+
+
+class ShardedReceiver:
+    """Fixed-plan mixed-modem farm: M-channel PFBCH2 + heterogeneous demod
+    groups, planar representation, squelch + controls in-graph.
+
+    groups: list[DemodGroupSpec]; every group's count must divide the mesh's
+    'chan' extent. ``block_len`` is GLOBAL samples per step (must split into
+    n_time equal shards, each a multiple of the per-shard block multiple).
+    Legacy FM-farm shorthand: pass ``n_demods=`` instead of groups.
     """
 
-    def __init__(self, sample_rate: float, num_channels: int, n_demods: int,
+    def __init__(self, sample_rate: float, num_channels: int,
+                 groups: list[DemodGroupSpec] | None = None,
+                 n_demods: int | None = None,
                  mesh: jax.sharding.Mesh | None = None,
                  bandwidth: float = 200_000.0, audio_rate: int = 48_000,
-                 block_len: int | None = None):
+                 block_len: int | None = None, use_pallas: bool = False):
         self.mesh = mesh if mesh is not None else make_receiver_mesh()
         self.nt = self.mesh.shape["time"]
         self.nc = self.mesh.shape["chan"]
-        assert n_demods % self.nc == 0
+        if groups is None:
+            assert n_demods is not None
+            groups = [DemodGroupSpec("FM", int(bandwidth), n_demods)]
+        self.groups = list(groups)
+        self.n_demods = sum(g.count for g in groups)
         self.sample_rate = float(sample_rate)
         self.M = int(num_channels)
-        self.n_demods = int(n_demods)
-        self.n_local = n_demods // self.nc
         self.audio_rate = audio_rate
 
-        self.chan = ChannelizerPFB2(self.M)
+        self.chan = ChannelizerPFB2(self.M, dtype=PLANAR,
+                                    use_pallas=use_pallas)
         self.D = self.M // 2
         self.chan_rate = 2.0 * sample_rate / self.M
+        self.dc = DCBlocker(0.0005, dtype=PLANAR)
+        self.centers_np = channel_centers(self.M, sample_rate)
 
-        P1, Q1 = design_ratio(bandwidth / self.chan_rate, 500)
-        self.fe_rs = RationalResampler(P1, Q1, batch_shape=(self.n_local,))
-        P2, Q2 = design_ratio(audio_rate / bandwidth, 500)
-        self.au_rs = RationalResampler(P2, Q2, batch_shape=(self.n_local,),
-                                       dtype=jnp.float32)
-        self.bandwidth = float(bandwidth)
+        # Per-group ops — the SAME classes ReceiverPipeline builds, with
+        # local (per-'chan'-device) batch rows and time_axis collectives.
+        self._modems, self.frontends, self.kits, self.gates = [], [], [], []
+        self.is_digital, self.n_locals = [], []
+        import math
+        m = 2 * self.D              # even steps per shard (PFBCH2 parity)
+        for g in self.groups:
+            assert g.count % self.nc == 0, (
+                f"group {g.modem_name} count {g.count} must divide the "
+                f"'chan' mesh extent {self.nc}")
+            n_local = g.count // self.nc
+            modem = make_modem(g.modem_name, **g.settings_dict)
+            bw = modem.check_sample_rate(g.bandwidth, audio_rate)
+            digital = modem.modem_type == "digital"
+            fe = ChannelFrontend(self.chan_rate, bw, n_local, dtype=PLANAR)
+            kit = modem.build_kit(bw, audio_rate, batch_shape=(n_local,),
+                                  dtype=PLANAR, time_axis="time")
+            gate = (SquelchGate(bw, n_local, time_axis="time") if digital
+                    else SquelchGate(audio_rate, n_local,
+                                     use_signal_out=[
+                                         modem.uses_signal_output()]
+                                     * n_local, time_axis="time"))
+            # Global-batch twins: carry arrays passed to shard_map are
+            # GLOBAL-shaped ([count] demod axis, sharded over 'chan').
+            fe_g = ChannelFrontend(self.chan_rate, bw, g.count, dtype=PLANAR)
+            kit_g = modem.build_kit(bw, audio_rate, batch_shape=(g.count,),
+                                    dtype=PLANAR, time_axis="time")
+            gate_g = (SquelchGate(bw, g.count, time_axis="time") if digital
+                      else SquelchGate(audio_rate, g.count,
+                                       use_signal_out=[
+                                           modem.uses_signal_output()]
+                                       * g.count, time_axis="time"))
+            self._init_ops = getattr(self, "_init_ops", [])
+            self._init_ops.append((fe_g, kit_g, gate_g))
+            self._modems.append(modem)
+            self.frontends.append(fe)
+            self.kits.append(kit)
+            self.gates.append(gate)
+            self.is_digital.append(digital)
+            self.n_locals.append(n_local)
+            b_k = modem.block_multiple(int(bw), audio_rate)
+            t = b_k // math.gcd(fe.P, b_k)
+            m = math.lcm(m, self.D * fe.Q * t)
 
-        # Local (per time-shard) input length: multiple of D, Ls/D even (so
-        # the PFBCH2 parity flip is shard-invariant), channel samples
-        # divisible by Q1, demod samples divisible by Q2.
-        m = self.D * 2
-        m = np.lcm(m, self.D * Q1)
-        t = Q2 // np.gcd(P1, Q2)
-        m = int(np.lcm(m, self.D * Q1 * t))
+        self.local_multiple = m
         if block_len is None:
             per_shard = max(m, ((1 << 17) // m) * m)
         else:
@@ -83,119 +140,195 @@ class ShardedReceiver:
         self.local_len = per_shard
         self.block_len = per_shard * self.nt
         self.local_chan_len = self.local_len // self.D
-        self.local_demod_len = self.local_chan_len // Q1 * P1
-        self.local_audio_len = self.local_demod_len // Q2 * P2
-        self.centers = jnp.asarray(
-            channel_centers(self.M, sample_rate), jnp.float32)
+        assert self.local_chan_len % 2 == 0
+        # Audio lengths must agree across analog groups (mix concatenation).
+        outs = set()
+        for gi, fe in enumerate(self.frontends):
+            if self.is_digital[gi]:
+                continue
+            from cubicsdr_tpu.ops.resample import design_ratio
+            P2, Q2 = design_ratio(self.audio_rate / fe.bandwidth, 500)
+            d_len = fe.out_len(self.local_chan_len)
+            outs.add(d_len if self._modems[gi].name == "I/Q"
+                     else d_len // Q2 * P2)
+        assert len(outs) <= 1, f"audio length mismatch: {outs}"
+        self.local_audio_len = outs.pop() if outs else 0
 
-    # --- carried state ---
-    # phase_base: per-demod NCO phase at block start (identical across time
-    #   shards). Halo carries (h_*): per-(time, chan) device buffers holding
-    #   what the cyclic permute delivered last block (see streaming_halo).
+    # --- carried state: everything stored with a leading [nt] axis and
+    # sharded P('time', ...); replicated leaves (EMAs, phase bases) hold
+    # identical values on every time shard by construction. ---
     def init_state(self):
-        nt, nd = self.nt, self.n_demods
+        def rep(tree):
+            return jax.tree.map(
+                lambda a: jnp.broadcast_to(a[None], (self.nt, *a.shape)),
+                tree)
         return {
-            "phase_base": jnp.zeros(nd, jnp.float32),
-            "h_chan": jnp.zeros((nt, self.chan.hist_len), jnp.complex64),
-            "h_fe": jnp.zeros((nt, nd, self.fe_rs.hist_len), jnp.complex64),
-            # freqdem seed 1+0j matches FreqDem.init_state (first sample's
-            # phase difference is the true phase, not arctan2(0,0)).
-            "h_fd": jnp.ones((nt, nd), jnp.complex64),
-            "h_au": jnp.zeros((nt, nd, self.au_rs.hist_len), jnp.float32),
+            "chan": rep(self.chan.shard_carry_init()),
+            "dc": rep(self.dc.shard_carries()),
+            "groups": tuple(
+                (rep(fe_g.shard_carries()), rep(kit_g.shard_carries()),
+                 rep(gate_g.init_state()))
+                for fe_g, kit_g, gate_g in self._init_ops),
         }
 
     def state_specs(self):
+        def spec(tree, s):
+            return jax.tree.map(lambda _: s, tree)
+        st = self.init_state()
         return {
-            "phase_base": P("chan"),
-            "h_chan": P("time", None),
-            "h_fe": P("time", "chan", None),
-            "h_fd": P("time", "chan"),
-            "h_au": P("time", "chan", None),
+            "chan": spec(st["chan"], P("time")),
+            "dc": spec(st["dc"], P("time")),
+            "groups": tuple(
+                (spec(fe_c, P("time", "chan")),
+                 spec(kit_c, P("time", "chan")),
+                 spec(gate_c, P("time", "chan")))
+                for fe_c, kit_c, gate_c in st["groups"]),
         }
 
-    def _shard_body(self, state, iq_local, freqs_local):
-        """Runs per-device inside shard_map.
+    def control_template(self):
+        out = []
+        for g in self.groups:
+            n = g.count
+            out.append({
+                "frequency": np.zeros(n, np.float32),
+                "squelch_level": np.full(n, -100.0, np.float32),
+                "squelch_enabled": np.zeros(n, bool),
+                "gain": np.ones(n, np.float32),
+                "active": np.ones(n, bool),
+            })
+        return out
 
-        iq_local: [local_len]; freqs_local: [n_local] demod offsets (Hz);
-        halo carries arrive with a leading time-shard axis of 1.
-        """
-        t_idx = jax.lax.axis_index("time")
+    def _control_specs(self):
+        return [
+            {k: P("chan") for k in ctl} for ctl in self.control_template()]
 
-        # ---- stage 1: time-sharded channelizer (halo = raw sample tail) ----
-        z, c_chan = streaming_halo(iq_local, self.chan.hist_len,
-                                   state["h_chan"][0], "time")
-        hist = z[: self.chan.hist_len]
-        x = z[self.chan.hist_len:]
-        # Parity is 0 everywhere because local_len/D is even.
-        (_, _), chans = self.chan.apply(
-            (hist, jnp.zeros((), jnp.int32)), x)     # [M, local_chan_len]
+    def _out_specs(self):
+        gspecs = []
+        for dig in self.is_digital:
+            if dig:
+                gspecs.append({"symbols": P("chan", "time"),
+                               "evm": P("chan"), "locked": P("chan"),
+                               "level": P("chan"), "floor": P("chan"),
+                               "ceil": P("chan"), "squelched": P("chan")})
+            else:
+                gspecs.append({"audio": P("chan", None, "time"),
+                               "level": P("chan"), "floor": P("chan"),
+                               "ceil": P("chan"), "squelched": P("chan"),
+                               "peak": P("chan")})
+        return {"mix": P(None, "time"), "mix_peak": P(),
+                "groups": gspecs}
 
-        # ---- stage 2: route demods to channels ----
-        dist = jnp.abs(freqs_local[:, None] - self.centers[None, :])
-        ci = jnp.argmin(dist, axis=-1)
-        xs = jnp.take(chans, ci, axis=0)             # [n_local, Lc]
-        omega = (TWO_PI * (self.centers[ci] - freqs_local)
-                 / self.chan_rate)                   # mix-down NCO
+    def _shard_body(self, state, iq_local, controls):
+        """Runs per-device inside shard_map. iq_local: PC [local_len];
+        controls: per-group dicts of [n_local] vectors."""
+        centers = jnp.asarray(self.centers_np, jnp.float32)
 
-        # ---- stage 3: NCO with closed-form phase continuity ----
-        phase_base = state["phase_base"]             # [n_local]
-        Lc = self.local_chan_len
-        phase0 = jnp.mod(phase_base + omega * (t_idx * Lc), TWO_PI)
-        k = jnp.arange(Lc, dtype=jnp.float32)
-        theta = jnp.mod(phase0[:, None] + omega[:, None] * k[None, :],
-                        TWO_PI)
-        xs = xs * jax.lax.complex(jnp.cos(theta), jnp.sin(theta))
+        # ---- channelize (tail halo; parity shard-invariant) ----
+        c_chan, chans = self.chan.shard_apply(
+            _strip_time(state["chan"]), iq_local, "time")
+        # ---- DC-block channel 0 (exact cross-shard IIR) ----
+        c_dc, ch0 = self.dc.shard_apply(
+            _strip_time(state["dc"]),
+            PC(chans.re[..., 0, :], chans.im[..., 0, :]), "time")
+        chans = PC(chans.re.at[..., 0, :].set(ch0.re),
+                   chans.im.at[..., 0, :].set(ch0.im))
 
-        # ---- stage 4: resample chan_rate -> bandwidth (halo) ----
-        xh, c_fe = streaming_halo(xs, self.fe_rs.hist_len,
-                                  state["h_fe"][0], "time")
-        _, y = self.fe_rs.apply(xh[..., : self.fe_rs.hist_len],
-                                xh[..., self.fe_rs.hist_len:])
+        new_groups, group_outs = [], []
+        audio_all, peaks_all, gains_all, act_all = [], [], [], []
+        for gi, (fe, kit, gate) in enumerate(
+                zip(self.frontends, self.kits, self.gates)):
+            c_fe, c_kit, s_gate = map(_strip_time, state["groups"][gi])
+            ctl = controls[gi]
+            freqs = jnp.asarray(ctl["frequency"], jnp.float32)
+            dist = jnp.abs(freqs[:, None] - centers[None, :])
+            ci = jnp.argmin(dist, axis=-1)
+            x = pc_take(chans, ci, axis=-2)              # [n_local, Lc]
+            omega = shift_omegas(freqs, centers[ci], self.chan_rate)
+            c_fe, y = fe.shard_apply(c_fe, (x, omega), "time")
+            c_kit, ko = kit.shard_apply(c_kit, y, "time")
+            if self.is_digital[gi]:
+                s_gate, gout = gate.apply(
+                    s_gate, (None, y, ctl["squelch_level"],
+                             ctl["squelch_enabled"]))
+                # evm/locked are per-time-segment; report block-global.
+                evm = jax.lax.pmean(ko["evm"], "time")
+                gout["symbols"] = ko["symbols"]
+                gout["evm"] = evm
+                gout["locked"] = jax.lax.pmean(
+                    ko["locked"].astype(jnp.float32), "time") > 0.5
+            else:
+                s_gate, gout = gate.apply(
+                    s_gate, (ko, y, ctl["squelch_level"],
+                             ctl["squelch_enabled"]))
+                a = gout["audio"]
+                if a.shape[-2] == 1:
+                    a = jnp.concatenate([a, a], axis=-2)
+                audio_all.append(a)
+                peaks_all.append(gout["peak"])
+                gains_all.append(jnp.asarray(ctl["gain"], jnp.float32))
+                act_all.append(jnp.asarray(ctl["active"], jnp.float32))
+            new_groups.append(tuple(map(_add_time, (c_fe, c_kit, s_gate))))
+            group_outs.append(gout)
 
-        # ---- stage 5: FM discriminator (1-sample halo) ----
-        yh, c_fd = streaming_halo(y, 1, state["h_fd"][0][..., None], "time")
-        _, audio = freqdem_block(yh[..., 0], y, kf=0.5)
+        # ---- mix: local weighted sum, psum over 'chan'; peak statistics
+        # match the unsharded mixer (per-stream pmax over time, then the
+        # gain-weighted sum over ALL streams). ----
+        if audio_all:
+            a_cat = jnp.concatenate(audio_all, axis=-3)
+            g_cat = (jnp.concatenate(gains_all, axis=-1)
+                     * jnp.concatenate(act_all, axis=-1))
+            p_cat = jnp.concatenate(peaks_all, axis=-1)   # pmax'd in gate
+            mix = jax.lax.psum(
+                jnp.sum(a_cat * g_cat[:, None, None], axis=-3), "chan")
+            peak = jax.lax.psum(jnp.sum(p_cat * g_cat, axis=-1), "chan")
+            scale = jnp.where(peak > 1.0, 1.0 / jnp.maximum(peak, 1e-9),
+                              1.0)
+            mix = mix * scale
+            mix_peak = jnp.minimum(peak, 1.0)
+        else:
+            mix = jnp.zeros((2, self.local_audio_len), jnp.float32)
+            mix_peak = jnp.zeros((), jnp.float32)
 
-        # ---- stage 6: audio resample bandwidth -> audio_rate (halo) ----
-        ah, c_au = streaming_halo(audio, self.au_rs.hist_len,
-                                  state["h_au"][0], "time")
-        _, audio48 = self.au_rs.apply(ah[..., : self.au_rs.hist_len],
-                                      ah[..., self.au_rs.hist_len:])
-
-        # ---- stage 7: mix across ALL demods (sum local + psum 'chan') ----
-        mix = jax.lax.psum(jnp.sum(audio48, axis=0), "chan")
-        level = 20.0 * jnp.log10(
-            jnp.maximum(jnp.mean(jnp.abs(audio48), axis=-1), 1e-20))
-
-        # ---- state advance: phase base moves by a whole global block ----
-        new_base = jnp.mod(
-            phase_base + omega * (self.nt * Lc), TWO_PI)
-        new_state = {"phase_base": new_base,
-                     "h_chan": c_chan[None],
-                     "h_fe": c_fe[None],
-                     "h_fd": c_fd[None, ..., 0],
-                     "h_au": c_au[None]}
-        return new_state, audio48, mix, level
+        new_state = {"chan": _add_time(c_chan), "dc": _add_time(c_dc),
+                     "groups": tuple(new_groups)}
+        return new_state, {"mix": mix, "mix_peak": mix_peak,
+                           "groups": group_outs}
 
     def make_step(self):
-        """Returns jitted step(state, iq[block_len], freqs[n_demods]) ->
-        (state, audio[n_demods, audio_len], mix[audio_len], level[n_demods]).
-        """
+        """Returns jitted step(state, iq PC[block_len], controls) ->
+        (state, outs) with outs like ReceiverPipeline's (audio concatenated
+        across time shards; levels/flags replicated-global)."""
         fn = jax.shard_map(
             self._shard_body, mesh=self.mesh,
-            in_specs=(self.state_specs(), P("time"), P("chan")),
+            in_specs=(self.state_specs(), P("time"),
+                      self._control_specs()),
             out_specs=(self.state_specs(),
-                       P("chan", "time"), P("time"), P("chan")),
+                       self._out_specs()),
             check_vma=False,
         )
         return jax.jit(fn, donate_argnums=(0,))
 
     def place_state(self, state):
-        return jax.device_put(state, {
-            k: jax.sharding.NamedSharding(self.mesh, s)
-            for k, s in self.state_specs().items()})
+        specs = self.state_specs()
+        sh = jax.tree.map(
+            lambda s: jax.sharding.NamedSharding(self.mesh, s), specs,
+            is_leaf=lambda x: isinstance(x, P))
+        return jax.tree.map(
+            lambda a, s: jax.device_put(a, s), state,
+            jax.tree.map(lambda s: s, sh,
+                         is_leaf=lambda x: isinstance(
+                             x, jax.sharding.NamedSharding)))
 
     # --- convenience: sharded input placement ---
-    def shard_iq(self, iq: np.ndarray):
+    def shard_iq(self, iq):
+        """iq: complex ndarray or PC of [block_len] -> PC placed P('time')."""
+        if not isinstance(iq, PC):
+            iq = from_complex(np.asarray(iq))
         sh = jax.sharding.NamedSharding(self.mesh, P("time"))
-        return jax.device_put(jnp.asarray(iq, jnp.complex64), sh)
+        return PC(jax.device_put(iq.re, sh), jax.device_put(iq.im, sh))
+
+    def place_controls(self, controls):
+        sh = jax.sharding.NamedSharding(self.mesh, P("chan"))
+        return [
+            {k: jax.device_put(jnp.asarray(v), sh) for k, v in ctl.items()}
+            for ctl in controls]

@@ -59,6 +59,21 @@ class ChannelFrontend(StreamOp):
         s_r, y = self.resampler.apply(s_r, y)
         return (s_n, s_r), y
 
+    # --- time-sharding: NCO phase is closed-form in the shard index (no
+    # collective); the resampler halo-exchanges its input tail. Planar-only
+    # (the sharded receiver is the TPU path). ---
+    def shard_carries(self):
+        return (self.nco.init_state(), self.resampler.shard_carries())
+
+    def shard_apply(self, carries, inputs, axis):
+        from cubicsdr_tpu.parallel.shardable import nco_shard_mix
+        x, omega = inputs
+        base, c_r = carries
+        base, y = nco_shard_mix(base, jnp.asarray(omega, jnp.float32),
+                                x, axis)
+        c_r, y = self.resampler.shard_apply(c_r, y, axis)
+        return (base, c_r), y
+
 
 def shift_omegas(demod_freqs, channel_centers, channel_rate):
     """omega[i] = 2*pi*(center_i - freq_i)/rate — mix the offset down to DC.

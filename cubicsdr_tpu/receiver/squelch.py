@@ -39,8 +39,13 @@ class SquelchGate(StreamOp):
     """
 
     def __init__(self, sample_rate: float, n_demods: int,
-                 use_signal_out=None, batch_shape: tuple = ()):
+                 use_signal_out=None, batch_shape: tuple = (),
+                 time_axis: str | None = None):
+        # time_axis: block time axis sharded over a mesh axis — level/peak
+        # statistics become pmean/pmax collectives so the squelch EMAs stay
+        # replicated-identical on every time shard (parallel/sharded.py).
         self.sample_rate = float(sample_rate)
+        self.time_axis = time_axis
         bs = (*batch_shape, n_demods)
         self.bs = bs
         self.use_signal_out = (jnp.zeros(n_demods, jnp.bool_)
@@ -58,17 +63,24 @@ class SquelchGate(StreamOp):
 
     def apply(self, state, inputs):
         audio, iq, squelch_level, squelch_enabled = inputs
+        ta = self.time_axis
+        n_t = jax.lax.psum(1, ta) if ta is not None else 1
+
+        def gmean(v):      # block mean (global across time shards)
+            return jax.lax.pmean(v, ta) if ta is not None else v
+
         # Reference sampleTime = len(iq)/iqRate; the audio block spans the
         # same duration, so measure it on whichever signal exists.
         ref = audio if audio is not None else iq
-        sample_time = ref.shape[-1] / self.sample_rate
+        sample_time = n_t * ref.shape[-1] / self.sample_rate
 
         if iq is not None:
             re, im = planes_of(iq)   # complex64 or planar PC
-            lvl_iq = linear_to_db(jnp.mean(jnp.sqrt(re * re + im * im),
-                                           axis=-1))
+            lvl_iq = linear_to_db(gmean(
+                jnp.mean(jnp.sqrt(re * re + im * im), axis=-1)))
         if audio is not None:
-            lvl_audio = linear_to_db(jnp.mean(jnp.abs(audio), axis=(-2, -1)))
+            lvl_audio = linear_to_db(gmean(
+                jnp.mean(jnp.abs(audio), axis=(-2, -1))))
             current = (jnp.where(self.use_signal_out, lvl_audio, lvl_iq)
                        if iq is not None else lvl_audio)
         else:
@@ -98,7 +110,9 @@ class SquelchGate(StreamOp):
         out = {"squelched": squelched, "level": lvl,
                "floor": sf, "ceil": sc}
         if audio is not None:
-            out["peak"] = jnp.max(jnp.abs(audio), axis=(-2, -1))
+            peak = jnp.max(jnp.abs(audio), axis=(-2, -1))
+            out["peak"] = (jax.lax.pmax(peak, ta) if ta is not None
+                           else peak)
             out["audio"] = jnp.where(squelched[..., None, None],
                                      jnp.zeros_like(audio), audio)
         return new_state, out

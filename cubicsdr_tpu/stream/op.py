@@ -25,13 +25,55 @@ class StreamOp:
 
     Ops must be shape-preserving-or-statically-resizing: output length is a
     function of input length and construction params only (XLA static shapes).
+
+    Time-sharding protocol (parallel/sharded.py): when the block's time axis
+    is split across mesh devices, an op participates in one of three ways,
+    declared by ``shard_kind``:
+      "tail"       — carried state is reconstructable from the last
+                     ``shard_halo_len()`` input samples (FIR history,
+                     resampler history, freqdem prev-sample). The sharding
+                     driver halo-exchanges the input tail between time shards
+                     (one cyclic ppermute) and calls ``state_from_tail``.
+      "replicated" — state is block-granular (EMA accumulators) and stays
+                     identical on every time shard because the op computes
+                     its block statistics with collectives (construct the op
+                     with ``time_axis=<mesh axis>``).
+      "stateless"  — no carried state at all.
+    Composite kits implement ``shard_apply(carries, x, axis)`` directly,
+    composing their parts via parallel.shardable.shard_stage.
     """
+
+    shard_kind: str | None = None     # "tail" | "replicated" | "stateless"
 
     def init_state(self) -> State:
         return ()
 
     def apply(self, state: State, x):
         raise NotImplementedError
+
+    # --- time-sharding protocol (defaults for tail-kind ops) ---
+    def shard_halo_len(self) -> int:
+        raise NotImplementedError(f"{type(self).__name__} is not shardable")
+
+    def state_from_tail(self, tail):
+        """Rebuild the carried state from the last shard_halo_len() input
+        samples (tail arrives in the op's input representation)."""
+        return tail
+
+    def shard_carry_init(self):
+        """Initial halo carry (the input tail at stream start)."""
+        raise NotImplementedError
+
+    def shard_carries(self):
+        """Initial carries for shard_apply (composites override)."""
+        from cubicsdr_tpu.parallel.shardable import shard_stage_carry_init
+        return shard_stage_carry_init(self)
+
+    def shard_apply(self, carries, x, axis: str):
+        """Run this op on a time shard inside shard_map (composites
+        override, composing their parts via parallel.shardable)."""
+        from cubicsdr_tpu.parallel.shardable import shard_stage
+        return shard_stage(self, carries, x, axis)
 
     def __call__(self, state: State, x):
         return self.apply(state, x)
