@@ -21,6 +21,8 @@ import sys
 
 import numpy as np
 
+from cubicsdr_tpu.ops.planar import PLANAR, from_complex
+
 
 def parse_frequency(s) -> float:
     """'100.1' (MHz if small), '100.1M', '98700k', '2.4G', else Hz
@@ -67,7 +69,8 @@ def cmd_demod(args):
         d.squelch_enabled = True
         d.squelch_level = args.squelch
     specs, keyed = plan_from_manager(mgr)
-    rx = ReceiverPipeline(args.rate, specs, chan_mode=args.channelizer)
+    rx = ReceiverPipeline(args.rate, specs, chan_mode=args.channelizer,
+                          dtype=PLANAR)
     controls = controls_from_manager(mgr, rx, keyed, center)
     src = FileIQSource(args.input, args.rate, rx.block_len,
                        frequency=center)
@@ -76,7 +79,7 @@ def cmd_demod(args):
     w = WavWriter(args.output, 48000, 1)
     nblocks = 0
     for blk in src:
-        state, out = step(state, (jnp.asarray(blk), controls))
+        state, out = step(state, (from_complex(blk), controls))
         w.write(np.asarray(out["groups"][0]["audio"][0]))
         nblocks += 1
         if args.max_seconds and nblocks * rx.block_len / args.rate \
@@ -93,14 +96,14 @@ def cmd_waterfall(args):
     import jax.numpy as jnp
     from cubicsdr_tpu.io import FileIQSource
     from cubicsdr_tpu.visual import (
-        FFTDataDistributor, SpectrumProcessor, Waterfall)
+        FFTDataDistributor, PlanarSpectrumProcessor, Waterfall)
 
     src = FileIQSource(args.input, args.rate,
                        block_len=1 << 17)
     dist = FFTDataDistributor(args.fft_size * 2, args.rate,
                               lines_per_second=args.lps,
-                              block_len=1 << 17)
-    sp = SpectrumProcessor(args.fft_size)
+                              block_len=1 << 17, dtype=PLANAR)
+    sp = PlanarSpectrumProcessor(args.fft_size)
     wf = Waterfall(args.fft_size, lines=args.lines, theme=args.theme)
 
     st_d, st_s = dist.init_state(), sp.init_state()
@@ -108,12 +111,12 @@ def cmd_waterfall(args):
     @jax.jit
     def step(st_d, st_s, x):
         st_d, (frames, valid) = dist.apply(st_d, x)
-        st_s, out = sp.apply(st_s, frames)
+        st_s, out = sp.apply(st_s, frames, valid=valid)
         return st_d, st_s, out, valid
 
     n_lines = 0
     for blk in src:
-        st_d, st_s, out, valid = step(st_d, st_s, jnp.asarray(blk))
+        st_d, st_s, out, valid = step(st_d, st_s, from_complex(blk))
         nv = int(np.asarray(valid).sum())
         if nv:
             pts = np.asarray(out["spectrum_points"])
@@ -142,14 +145,14 @@ def cmd_rx(args):
         return 1
     specs, keyed = plan_from_manager(mgr)
     rx = ReceiverPipeline(sess.sample_rate, specs,
-                          chan_mode=args.channelizer)
+                          chan_mode=args.channelizer, dtype=PLANAR)
     controls = controls_from_manager(mgr, rx, keyed, sess.center_freq)
     src = FileIQSource(args.input, sess.sample_rate, rx.block_len)
     step = jax.jit(rx.apply)
     state = rx.init_state()
     mix_w = WavWriter(args.output, 48000, 2)
     for blk in src:
-        state, out = step(state, (jnp.asarray(blk), controls))
+        state, out = step(state, (from_complex(blk), controls))
         mix_w.write(np.asarray(out["mix"]))
     mix_w.close()
     print(f"wrote {mix_w.current_path} "
@@ -179,7 +182,8 @@ def cmd_serve(args):
     if not mgr.get_demodulators():
         mgr.new_demodulator(center + 200e3, "FM", 200000)
     specs, keyed = plan_from_manager(mgr)
-    rx = ReceiverPipeline(rate, specs, chan_mode=args.channelizer)
+    rx = ReceiverPipeline(rate, specs, chan_mode=args.channelizer,
+                          dtype=PLANAR)
     controls = controls_from_manager(mgr, rx, keyed, center)
     if args.input:
         src = FileIQSource(args.input, rate, rx.block_len, loop=True)

@@ -8,6 +8,13 @@ audio sinks (per-demod recorders + mix), the spectrum/waterfall processors,
 and the metrics registry. Back-pressure = the bounded ring's try-push
 shedding, exactly the reference's queue-full policy
 (ref: src/sdr/SoapySDRThread.cpp:384-399).
+
+Representation: when the pipeline is planar (dtype=PLANAR — the TPU path),
+the ring's (re, im) planes feed the compiled step directly as a PC pair and
+the visual chain (distributor re-block + spectrum EMA) is ONE jitted planar
+program per block — no complex64 ever reaches the device, and no per-op
+eager dispatch. complex64 pipelines (CPU tests) take the same code path
+with complex arrays.
 """
 
 from __future__ import annotations
@@ -20,8 +27,10 @@ import numpy as np
 
 from cubicsdr_tpu.io.recorder import RecordingSink, SquelchOption
 from cubicsdr_tpu.native import SampleRing
+from cubicsdr_tpu.ops.planar import PC, PLANAR
 from cubicsdr_tpu.utils.metrics import Metrics
-from cubicsdr_tpu.visual import FFTDataDistributor, SpectrumProcessor, Waterfall
+from cubicsdr_tpu.visual import (FFTDataDistributor, PlanarSpectrumProcessor,
+                                 SpectrumProcessor, Waterfall)
 
 
 class LiveReceiver:
@@ -39,6 +48,7 @@ class LiveReceiver:
         import jax.numpy as jnp
         self._jnp = jnp
         self.pipeline = pipeline
+        self.planar = getattr(pipeline, "dtype", None) == PLANAR
         self.controls = controls
         self.source = source
         self.center_freq = center_freq
@@ -52,13 +62,25 @@ class LiveReceiver:
         self._rec_opts = (record_squelch, record_time_limit)
         self.on_block = on_block
 
+        dt = PLANAR if self.planar else jnp.complex64
         self.dist = FFTDataDistributor(
             waterfall_fft * 2, pipeline.sample_rate,
-            lines_per_second=waterfall_lps, block_len=pipeline.block_len)
-        self.spec = SpectrumProcessor(waterfall_fft)
+            lines_per_second=waterfall_lps, block_len=pipeline.block_len,
+            dtype=dt)
+        spec_cls = PlanarSpectrumProcessor if self.planar \
+            else SpectrumProcessor
+        self.spec = spec_cls(waterfall_fft)
         self.waterfall = Waterfall(waterfall_fft, waterfall_lines)
         self._st_dist = self.dist.init_state()
         self._st_spec = self.spec.init_state()
+
+        def _visual_step(st_dist, st_spec, x):
+            st_dist, (frames, valid) = self.dist.apply(st_dist, x)
+            st_spec, disp = self.spec.apply(st_spec, frames, valid=valid)
+            return (st_dist, st_spec, disp["spectrum_points"],
+                    jnp.sum(valid.astype(jnp.int32)))
+
+        self._visual = jax.jit(_visual_step)
 
         # Live audio tap: rolling mix chunks for HTTP/host audio sinks (the
         # AudioThread output analog, ref: src/audio/AudioThread.cpp:88-243).
@@ -71,9 +93,10 @@ class LiveReceiver:
         self.demod_view: Optional[int] = None    # flat (group-order) index
         self.demod_view_fft = 256
         self.demod_spectrum: Optional[np.ndarray] = None
-        self._dv_spec = SpectrumProcessor(self.demod_view_fft)
+        self._dv_spec = spec_cls(self.demod_view_fft)
+        self._dv_apply = jax.jit(self._dv_spec.apply)
         self._dv_state = self._dv_spec.init_state()
-        self._dv_carry = np.zeros(0, np.complex64)
+        self._dv_carry = np.zeros((2, 0), np.float32)
 
         self._stop = threading.Event()
         self._producer: Optional[threading.Thread] = None
@@ -112,7 +135,10 @@ class LiveReceiver:
                 self._stop.wait(0.001)
                 continue
             re, im = got
-            iq = jnp.asarray(re) + 1j * jnp.asarray(im)
+            if self.planar:
+                iq = PC(jnp.asarray(re), jnp.asarray(im))
+            else:
+                iq = jnp.asarray(re) + 1j * jnp.asarray(im)
             self.state, out = self.step(self.state, (iq, self.controls))
             self._fanout(iq, out)
             self.metrics.tick("pipeline", L)
@@ -125,39 +151,51 @@ class LiveReceiver:
         if idx != self.demod_view:
             self.demod_view = idx
             self._dv_state = self._dv_spec.init_state()
-            self._dv_carry = np.zeros(0, np.complex64)
+            self._dv_carry = np.zeros((2, 0), np.float32)
             self.demod_spectrum = None
+
+    @staticmethod
+    def _tap_planes(g, row) -> np.ndarray:
+        """One demod's IQ tap as float32 planes [2, L] (host-side)."""
+        tap = g["iq"]
+        if isinstance(tap, PC):
+            return np.stack([np.asarray(tap.re[row]),
+                             np.asarray(tap.im[row])])
+        t = np.asarray(tap[row])
+        if t.ndim == 2:                       # already (re, im) rows
+            return t.astype(np.float32)
+        return np.stack([t.real.astype(np.float32),
+                         t.imag.astype(np.float32)])
 
     def _demod_view_fanout(self, out):
         idx, off = self.demod_view, 0
         for g in out["groups"]:
-            n = g["audio"].shape[0]
+            n = g["level"].shape[0]
             if idx < off + n:
-                tap = np.asarray(g["iq"])[idx - off]
-                if tap.ndim == 2:            # planar (re, im) rows
-                    tap = tap[0] + 1j * tap[1]
-                buf = np.concatenate([self._dv_carry,
-                                      tap.astype(np.complex64)])
+                planes = self._tap_planes(g, idx - off)
+                buf = np.concatenate([self._dv_carry, planes], axis=-1)
                 F = 2 * self.demod_view_fft   # ×2 internal FFT (VZM)
-                n_fr = min(len(buf) // F, 8)
+                n_fr = min(buf.shape[-1] // F, 8)
                 if n_fr:
-                    frames = buf[: n_fr * F].reshape(n_fr, F)
-                    self._dv_state, disp = self._dv_spec.apply(
-                        self._dv_state, self._jnp.asarray(frames))
+                    fr = buf[:, : n_fr * F].reshape(2, n_fr, F)
+                    frames = (PC(self._jnp.asarray(fr[0]),
+                                 self._jnp.asarray(fr[1])) if self.planar
+                              else self._jnp.asarray(fr[0] + 1j * fr[1]))
+                    self._dv_state, disp = self._dv_apply(
+                        self._dv_state, frames)
                     self.demod_spectrum = np.asarray(
                         disp["spectrum_points"])
-                self._dv_carry = buf[n_fr * F:][-4 * F:]
+                self._dv_carry = buf[:, n_fr * F:][:, -4 * F:]
                 return
             off += n
 
     def _fanout(self, iq, out):
-        # Waterfall lines from the full-band tap.
-        self._st_dist, (frames, valid) = self.dist.apply(self._st_dist, iq)
-        nv = int(np.asarray(valid).sum())
+        # Waterfall lines from the full-band tap — one jitted call.
+        self._st_dist, self._st_spec, pts, nv = self._visual(
+            self._st_dist, self._st_spec, iq)
+        nv = int(nv)
         if nv:
-            self._st_spec, disp = self.spec.apply(self._st_spec, frames)
-            pts = np.asarray(disp["spectrum_points"])
-            self.waterfall.add_lines(np.tile(pts, (nv, 1)))
+            self.waterfall.add_lines(np.tile(np.asarray(pts), (nv, 1)))
         # Demod-view spectrum from the selected demod's IQ tap.
         if self.demod_view is not None:
             self._demod_view_fanout(out)
@@ -167,13 +205,18 @@ class LiveReceiver:
                 self.audio_tap.append(np.asarray(out["mix"]))
                 self._audio_seq += 1
                 self.audio_cond.notify_all()
-        # Recording sinks per demod group/row.
+        # Recording sinks per demod group/row (digital groups emit symbols,
+        # not audio — they are skipped but still advance the flat index).
         if self.record_path:
             gi_off = 0
             for gi, g in enumerate(out["groups"]):
+                rows = g["level"].shape[0]
+                if "audio" not in g:
+                    gi_off += rows
+                    continue
                 audio = np.asarray(g["audio"])
                 squelched = np.asarray(g["squelched"])
-                for ri in range(audio.shape[0]):
+                for ri in range(rows):
                     key = gi_off + ri
                     if key not in self._recorders:
                         sq, tl = self._rec_opts
@@ -184,7 +227,7 @@ class LiveReceiver:
                             squelch_option=sq, time_limit_s=tl)
                     self._recorders[key].write(audio[ri],
                                               bool(squelched[ri]))
-                gi_off += audio.shape[0]
+                gi_off += rows
         if self.on_block is not None:
             self.on_block(out)
 

@@ -338,7 +338,11 @@ class WebViewer:
             ReceiverPipeline, plan_from_manager, controls_from_manager)
         r = self.receiver
         specs, keyed = plan_from_manager(self.mgr)
-        pipeline = ReceiverPipeline(r.pipeline.sample_rate, specs)
+        pipeline = ReceiverPipeline(r.pipeline.sample_rate, specs,
+                                    chan_mode=r.pipeline.chan_mode,
+                                    num_channels=r.pipeline.M,
+                                    audio_rate=r.pipeline.audio_rate,
+                                    dtype=r.pipeline.dtype)
         controls = controls_from_manager(self.mgr, pipeline, keyed,
                                          r.center_freq)
         step = jax.jit(pipeline.apply)

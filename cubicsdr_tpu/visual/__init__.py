@@ -9,6 +9,8 @@ scaling, palettes) is bit-faithful to the reference.
 """
 
 from cubicsdr_tpu.visual.spectrum import SpectrumProcessor  # noqa: F401
+from cubicsdr_tpu.visual.planar_spectrum import (  # noqa: F401
+    PlanarSpectrumProcessor)
 from cubicsdr_tpu.visual.distributor import FFTDataDistributor  # noqa: F401
 from cubicsdr_tpu.visual.scope import ScopeProcessor  # noqa: F401
 from cubicsdr_tpu.visual.waterfall import Waterfall  # noqa: F401

@@ -49,11 +49,16 @@ class PlanarSpectrumProcessor(StreamOp):
         m = pc_abs(X)
         return jnp.roll(m, self.n // 2, axis=-1)       # fftshift
 
-    def apply(self, state, frames: PC):
-        def step(st, pair):
+    def apply(self, state, frames: PC, dc_offset_bins=None, valid=None):
+        def step(st, pv):
+            pair, v = pv
             mag = self._mag(PC(pair[0], pair[1]))
-            return frame_update(self.core, st, mag), None
+            st2 = frame_update(self.core, st, mag)
+            st2 = jax.tree.map(lambda a, b: jnp.where(v, a, b), st2, st)
+            return st2, None
 
         pairs = jnp.stack([frames.re, frames.im], axis=1)  # [n, 2, N]
-        state, _ = jax.lax.scan(step, state, pairs)
-        return state, self.core._points(state)
+        if valid is None:
+            valid = jnp.ones(pairs.shape[0], jnp.bool_)
+        state, _ = jax.lax.scan(step, state, (pairs, valid))
+        return state, self.core._points(state, dc_offset_bins)

@@ -98,10 +98,13 @@ class SpectrumProcessor(StreamOp):
             "primed": jnp.zeros(self.bs, jnp.bool_),
         }
 
-    def _frame_step(self, st, frame):
+    def _frame_step(self, st, fv):
+        frame, valid = fv
         mag = jnp.fft.fftshift(jnp.abs(jnp.fft.fft(frame, axis=-1)),
                                axes=-1).astype(jnp.float32)
-        return frame_update(self, st, mag), None
+        st2 = frame_update(self, st, mag)
+        st2 = jax.tree.map(lambda a, b: jnp.where(valid, a, b), st2, st)
+        return st2, None
 
     def _points(self, st, dc_offset_bins=None):
         """Map smoothed bins -> fft_size normalized display points."""
@@ -130,11 +133,16 @@ class SpectrumProcessor(StreamOp):
                 out["spectrum_points"], dc_offset_bins, self.fft_size)
         return out
 
-    def apply(self, state, frames, dc_offset_bins=None):
+    def apply(self, state, frames, dc_offset_bins=None, valid=None):
         """frames: [..., n_frames, fftSizeInternal] complex. Returns
-        (state, display dict) for the final frame's smoothed view."""
+        (state, display dict) for the final frame's smoothed view.
+        ``valid`` ([n_frames] bool, optional) skips masked frames without a
+        shape change — the distributor's fixed-capacity frames feed straight
+        in (ref pacing: src/process/FFTDataDistributor.cpp:85-128)."""
         fr = jnp.moveaxis(frames, -2, 0)
-        state, _ = jax.lax.scan(self._frame_step, state, fr)
+        if valid is None:
+            valid = jnp.ones(fr.shape[0], jnp.bool_)
+        state, _ = jax.lax.scan(self._frame_step, state, (fr, valid))
         return state, self._points(state, dc_offset_bins)
 
 

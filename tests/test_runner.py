@@ -16,13 +16,17 @@ from cubicsdr_tpu.receiver import (
     controls_from_manager)
 
 
-def test_live_receiver_records_and_draws(tmp_path):
+@pytest.mark.parametrize("dtype", ["complex", "planar"])
+def test_live_receiver_records_and_draws(tmp_path, dtype):
+    import jax.numpy as jnp
+    from cubicsdr_tpu.ops.planar import PLANAR
     from cubicsdr_tpu.app.runner import LiveReceiver
     fs = 1_000_000
     mgr = DemodulatorMgr()
     mgr.new_demodulator(100e6 + 200e3, "FM", 200000)
     specs, keyed = plan_from_manager(mgr)
-    rx = ReceiverPipeline(fs, specs)
+    rx = ReceiverPipeline(
+        fs, specs, dtype=PLANAR if dtype == "planar" else jnp.complex64)
     controls = controls_from_manager(mgr, rx, keyed, 100e6)
 
     class _FiniteSource:

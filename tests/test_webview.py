@@ -35,7 +35,10 @@ def test_webview_endpoints_and_control(tmp_path):
     mgr = DemodulatorMgr()
     mgr.new_demodulator(100e6 + 200e3, "FM", 200000)
     specs, keyed = plan_from_manager(mgr)
-    rx = ReceiverPipeline(fs, specs)
+    # Production representation: planar (the TPU path) — webview/runner must
+    # never construct complex64 device arrays.
+    from cubicsdr_tpu.ops.planar import PLANAR
+    rx = ReceiverPipeline(fs, specs, dtype=PLANAR)
     controls = controls_from_manager(mgr, rx, keyed, 100e6)
 
     class _Src:
