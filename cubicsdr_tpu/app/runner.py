@@ -88,6 +88,11 @@ class LiveReceiver:
         self.audio_cond = threading.Condition()
         self._audio_seq = 0
 
+        # Zoomed main-spectrum view (the is_view SpectrumVisualProcessor,
+        # ref: src/process/SpectrumVisualProcessor.cpp:283-386) with
+        # retune/zoom display continuity. Created lazily by set_zoom().
+        self.zoom = None
+
         # Demod-view spectrum (the second SpectrumVisualProcessor instance,
         # ref: src/CubicSDR.cpp:340,374): tracks ONE selected demod's IQ tap.
         self.demod_view: Optional[int] = None    # flat (group-order) index
@@ -140,10 +145,26 @@ class LiveReceiver:
             else:
                 iq = jnp.asarray(re) + 1j * jnp.asarray(im)
             self.state, out = self.step(self.state, (iq, self.controls))
-            self._fanout(iq, out)
+            self._fanout(iq, out, (re, im))
             self.metrics.tick("pipeline", L)
             n += 1
         return n
+
+    def set_zoom(self, offset: Optional[float], bandwidth: float = 0.0):
+        """Point the zoomed spectrum view at ``offset`` Hz (relative to the
+        device center) with ``bandwidth`` Hz span; None disables. View
+        moves preserve the smoothed display (pan/rescale, not reset)."""
+        if offset is None:
+            self.zoom = None
+            return
+        if self.zoom is None:
+            from cubicsdr_tpu.visual.spectrum import ZoomSpectrumView
+            self.zoom = ZoomSpectrumView(
+                self.pipeline.sample_rate, self.pipeline.block_len,
+                fft_size=self.spec.fft_size,
+                dtype=PLANAR if self.planar else self._jnp.complex64)
+        self.zoom.set_view(float(offset),
+                           float(bandwidth) or self.zoom.view_bandwidth)
 
     def set_demod_view(self, idx: Optional[int]):
         """Select which demod's IQ tap feeds the demod-view spectrum
@@ -189,13 +210,16 @@ class LiveReceiver:
                 return
             off += n
 
-    def _fanout(self, iq, out):
+    def _fanout(self, iq, out, planes=None):
         # Waterfall lines from the full-band tap — one jitted call.
         self._st_dist, self._st_spec, pts, nv = self._visual(
             self._st_dist, self._st_spec, iq)
         nv = int(nv)
         if nv:
             self.waterfall.add_lines(np.tile(np.asarray(pts), (nv, 1)))
+        # Zoomed spectrum view, when active.
+        if self.zoom is not None and planes is not None:
+            self.zoom.feed(np.stack(planes))
         # Demod-view spectrum from the selected demod's IQ tap.
         if self.demod_view is not None:
             self._demod_view_fanout(out)

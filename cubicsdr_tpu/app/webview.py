@@ -194,7 +194,14 @@ class WebViewer:
 
     def spectrum_json(self) -> dict:
         pts = self.receiver.waterfall.buffer[-1]   # newest display line
-        return {"points": np.asarray(pts, np.float64).round(4).tolist()}
+        out = {"points": np.asarray(pts, np.float64).round(4).tolist()}
+        z = self.receiver.zoom
+        if z is not None:
+            out["zoom"] = {
+                "offset": z.view_offset, "bandwidth": z.resample_bw,
+                "points": [] if z.points is None
+                else np.asarray(z.points, np.float64).round(4).tolist()}
+        return out
 
     def demod_spectrum_json(self) -> dict:
         pts = self.receiver.demod_spectrum
@@ -271,6 +278,12 @@ class WebViewer:
             self._refresh_controls()
         elif action == "theme":
             r.waterfall.set_theme(str(cmd["name"]))
+        elif action == "zoom":
+            # Zoomed main-spectrum view: {offset, bandwidth} or offset=null
+            # disables. Pans/rescales the smoothed display (continuity).
+            off = cmd.get("offset")
+            r.set_zoom(None if off is None else float(off),
+                       float(cmd.get("bandwidth") or 0.0))
         elif action == "view" and self.mgr is not None:
             # Select the demod-view spectrum target (mgr index or null).
             idx = cmd.get("index")

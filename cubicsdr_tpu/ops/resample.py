@@ -259,11 +259,41 @@ class ResamplerChain(StreamOp):
         return in_len // self.Q * self.P
 
 
+class IdentityResampler(StreamOp):
+    """Unity-ratio passthrough (a Nyquist-cutoff FIR is both undesignable
+    and pointless). Interface-identical to RationalResampler."""
+
+    P = Q = 1
+    hist_len = 0
+    shard_kind = "tail"
+
+    def __init__(self, batch_shape: tuple = (), dtype=jnp.complex64):
+        self.batch_shape = batch_shape
+        self.dtype = dtype
+
+    def init_state(self):
+        return dtype_zeros((*self.batch_shape, 0), self.dtype)
+
+    def shard_halo_len(self) -> int:
+        return 0
+
+    def shard_carry_init(self):
+        return self.init_state()
+
+    def apply(self, state, x):
+        return state, x
+
+    def out_len(self, in_len: int) -> int:
+        return in_len
+
+
 def make_resampler(P: int, Q: int, batch_shape: tuple = (),
                    dtype=jnp.complex64, taps_per_phase: int = 24,
                    as_db: float = 60.0, max_stage: int = 64):
     """Single-stage RationalResampler when the ratio is mild, ResamplerChain
-    when Q needs splitting. Interface-identical either way."""
+    when Q needs splitting, identity when unity. Interface-identical."""
+    if P == Q:
+        return IdentityResampler(batch_shape=batch_shape, dtype=dtype)
     if len(stage_plan(P, Q, max_stage)) == 1:
         return RationalResampler(P, Q, batch_shape=batch_shape, dtype=dtype,
                                  taps_per_phase=taps_per_phase, as_db=as_db)

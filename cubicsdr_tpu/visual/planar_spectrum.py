@@ -38,6 +38,7 @@ class PlanarSpectrumProcessor(StreamOp):
                  scale_factor: float = 1.0, peak_hold: bool = False):
         self.core = SpectrumProcessor(fft_size, fft_average_rate,
                                       scale_factor, peak_hold)
+        self.fft_size = self.core.fft_size
         self.n = self.core.n
         self.n1, self.n2 = _split_factors(self.n)
 

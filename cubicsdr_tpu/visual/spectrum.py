@@ -165,6 +165,47 @@ def _hide_dc(points, offset_bins, fft_size, width_bins=None):
     return jnp.where(mask, mirrored, points)
 
 
+def shift_display_state(st, k: int):
+    """Retune continuity: displace the smoothed averages (ma/maa, display
+    order) by ``k`` bins so the waterfall stays seamless across a view
+    retune instead of re-converging (ref: SpectrumVisualProcessor.cpp:
+    304-336). ``k > 0`` = view center moved up = bins shift left. Vacated
+    edge bins keep their stale values, exactly the reference's memmove
+    without memset. Host-side control-plane event (numpy)."""
+    k = int(k)
+    if k == 0:
+        return st
+    st = dict(st)
+    for key in ("ma", "maa"):
+        a = np.asarray(st[key]).copy()
+        if k > 0:
+            a[..., :-k] = a[..., k:]
+        else:
+            a[..., -k:] = a[..., :k]
+        st[key] = jnp.asarray(a)
+    return st
+
+
+def rescale_display_state(st, zoom_in: bool):
+    """×2 bandwidth-change continuity (ref: SpectrumVisualProcessor.cpp:
+    454-492): zooming IN expands the middle half of the old averages to the
+    full display (new[i] = old[n/4 + i//2]); zooming OUT compresses the old
+    display into the middle half (new[i] = old[(i - n/4)*2]) and zeroes the
+    newly revealed edges."""
+    st = dict(st)
+    for key in ("ma", "maa"):
+        a = np.asarray(st[key])
+        n = a.shape[-1]
+        i = np.arange(n)
+        if zoom_in:
+            b = a[..., n // 4 + i // 2]
+        else:
+            src = np.clip((i - n // 4) * 2, 0, n - 1)
+            b = np.where((i >= n // 4) & (i < n - n // 4), a[..., src], 0.0)
+        st[key] = jnp.asarray(b.astype(np.float32))
+    return st
+
+
 class SpectrumView(StreamOp):
     """Zoomed-spectrum front stage: shift the stream to the view center and
     resample to the view bandwidth, then frame for the core processor
@@ -202,3 +243,126 @@ class SpectrumView(StreamOp):
         frames = y[..., : n_frames * self.n].reshape(
             *y.shape[:-1], n_frames, self.n)
         return (s_n, s_r), frames
+
+
+class ZoomSpectrumView:
+    """Managed zoomed-spectrum view — the ``is_view`` path of the
+    reference's SpectrumVisualProcessor (ref: src/process/
+    SpectrumVisualProcessor.cpp:283-386) with display CONTINUITY across
+    view changes:
+
+      * retune shifts the smoothed averages by the bin displacement
+        (ref :304-336) via ``shift_display_state`` — the waterfall pans
+        instead of blanking;
+      * a ×2 bandwidth (zoom) change rescales the history (ref :454-492)
+        via ``rescale_display_state``;
+      * partial-input priming (ref :401-421) is absorbed by the line
+        pacer's sample history (FFTDataDistributor carries fftSize-1
+        samples across blocks, so every emitted frame is always full).
+
+    TPU shape discipline: ONE jitted program per (bandwidth, chunk) — the
+    view offset rides in as a traced NCO omega, so retunes never recompile;
+    only a zoom change rebuilds the resampler (the reference rebuilds its
+    msresamp then too). Host code buffers arbitrary block lengths into
+    fixed Q-divisible chunks.
+    """
+
+    def __init__(self, input_rate: float, block_len: int,
+                 fft_size: int = DEFAULT_FFT_SIZE,
+                 lines_per_second: float = 30.0,
+                 dtype=jnp.complex64, fft_average_rate: float = 0.65):
+        from cubicsdr_tpu.ops.planar import PLANAR
+        from cubicsdr_tpu.visual.planar_spectrum import (
+            PlanarSpectrumProcessor)
+        self.input_rate = float(input_rate)
+        self.block_len = int(block_len)
+        self.fft_size = int(fft_size)
+        self.n = self.fft_size * SPECTRUM_VZM
+        self.lps = float(lines_per_second)
+        self.dtype = dtype
+        self.planar = dtype == PLANAR
+        core_cls = PlanarSpectrumProcessor if self.planar \
+            else SpectrumProcessor
+        self.core = core_cls(fft_size, fft_average_rate)
+        self.view_offset = 0.0
+        self.view_bandwidth = float(input_rate)
+        self.st_core = self.core.init_state()
+        self._build_front()
+
+    def _snap_bw(self, bandwidth: float) -> float:
+        """Reference halves the input rate by VZM until <= bandwidth
+        (ref :289-291) — view bandwidths are input_rate / 2^k."""
+        bw = self.input_rate
+        while bw / SPECTRUM_VZM >= bandwidth:
+            bw /= SPECTRUM_VZM
+        return bw
+
+    def _build_front(self):
+        import jax
+        from cubicsdr_tpu.ops.resample import design_ratio, make_resampler
+        from cubicsdr_tpu.visual.distributor import FFTDataDistributor
+        self.resample_bw = self._snap_bw(self.view_bandwidth)
+        P, Q = design_ratio(self.resample_bw / self.input_rate,
+                            max_denominator=1 << 16)
+        self.res = make_resampler(P, Q, dtype=self.dtype)
+        self.chunk = Q * max(1, round(self.block_len / Q))
+        out_len = self.res.out_len(self.chunk)
+        self.dist = FFTDataDistributor(self.n, self.resample_bw,
+                                       lines_per_second=self.lps,
+                                       block_len=out_len, dtype=self.dtype)
+        self.nco = NCOMixer()
+        self._st_front = (self.nco.init_state(), self.res.init_state(),
+                          self.dist.init_state())
+        self._buf = np.zeros((2, 0), np.float32)
+        self.points: np.ndarray | None = None
+
+        def _step(st_front, st_core, x, omega):
+            s_n, s_r, s_d = st_front
+            s_n, y = self.nco.apply(s_n, (x, omega))
+            s_r, y = self.res.apply(s_r, y)
+            s_d, (frames, valid) = self.dist.apply(s_d, y)
+            st_core, disp = self.core.apply(st_core, frames, valid=valid)
+            return ((s_n, s_r, s_d), st_core, disp["spectrum_points"],
+                    jnp.sum(valid.astype(jnp.int32)))
+
+        self._step = jax.jit(_step)
+
+    # ---- view control (host events, continuity-preserving) --------------
+    def set_view(self, offset: float, bandwidth: float):
+        new_bw = self._snap_bw(float(bandwidth))
+        if new_bw != self.resample_bw:
+            old = self.resample_bw
+            steps = int(round(abs(np.log2(new_bw / old))))
+            for _ in range(steps):
+                self.st_core = rescale_display_state(
+                    self.st_core, zoom_in=new_bw < old)
+            self.view_bandwidth = float(bandwidth)
+            self._build_front()        # new resampler/pacer, fresh fronts
+        freq_diff = float(offset) - self.view_offset
+        if freq_diff:
+            bin_per_hz = self.resample_bw / self.n
+            k = int(np.floor(abs(freq_diff) / bin_per_hz))
+            if 0 < k < self.n // 2:
+                self.st_core = shift_display_state(
+                    self.st_core, k if freq_diff > 0 else -k)
+            self.view_offset = float(offset)
+
+    # ---- streaming -------------------------------------------------------
+    def feed(self, planes: np.ndarray) -> np.ndarray | None:
+        """planes: float32 [2, L] (re, im) host block. Buffers to the fixed
+        chunk, runs the compiled view step, returns the newest display
+        points (or the previous ones if no full chunk yet)."""
+        from cubicsdr_tpu.ops.planar import PC
+        self._buf = np.concatenate([self._buf, planes], axis=-1)
+        omega = jnp.float32(-2.0 * np.pi * self.view_offset
+                            / self.input_rate)
+        while self._buf.shape[-1] >= self.chunk:
+            cur, self._buf = (self._buf[:, :self.chunk],
+                              self._buf[:, self.chunk:])
+            x = (PC(jnp.asarray(cur[0]), jnp.asarray(cur[1]))
+                 if self.planar else jnp.asarray(cur[0] + 1j * cur[1]))
+            self._st_front, self.st_core, pts, nv = self._step(
+                self._st_front, self.st_core, x, omega)
+            if int(nv):
+                self.points = np.asarray(pts)
+        return self.points
