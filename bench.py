@@ -46,8 +46,10 @@ def build_pipeline(n_demods: int = 16, block_len: int | None = None,
     rx = ReceiverPipeline(fs, specs, dtype=PLANAR, use_pallas=use_pallas,
                           block_len=block_len)
     controls = rx.control_template()
+    # Distribute demods across the 16 channels (wrapping for farms >16 —
+    # the 256-demod north-star packs 16 stations per channel).
     controls[0]["frequency"] = np.asarray(
-        [(i - n_demods // 2) * 500e3 + 20e3 for i in range(n_demods)],
+        [((i % 16) - 8) * 500e3 + 20e3 for i in range(n_demods)],
         np.float32)
     return rx, controls
 

@@ -105,17 +105,28 @@ class LiveReceiver:
 
         self._stop = threading.Event()
         self._producer: Optional[threading.Thread] = None
+        self.source_error: Optional[Exception] = None
 
     # --- producer: source -> ring (the SDRThread readLoop analog) ---
     def _produce(self):
-        for blk in self.source:
-            if self._stop.is_set():
-                break
-            blk = np.asarray(blk)
-            ok = self.ring.write(np.ascontiguousarray(blk.real, np.float32),
-                                 np.ascontiguousarray(blk.imag, np.float32))
-            self.metrics.tick("ingest", len(blk),
-                              dropped=0 if ok else len(blk))
+        from cubicsdr_tpu.io.soapy import DeviceLostError
+        try:
+            for blk in self.source:
+                if self._stop.is_set():
+                    break
+                blk = np.asarray(blk)
+                if blk.ndim == 2 and blk.shape[0] == 2:
+                    re, im = blk[0], blk[1]      # planar source (soapy)
+                else:
+                    re, im = blk.real, blk.imag
+                n = re.shape[-1]
+                ok = self.ring.write(np.ascontiguousarray(re, np.float32),
+                                     np.ascontiguousarray(im, np.float32))
+                self.metrics.tick("ingest", n, dropped=0 if ok else n)
+        except DeviceLostError as e:
+            # Device vanished: stop producing, surface to the app loop
+            # (ref: SoapySDRThread.cpp:405-433 device-loss stop + notify).
+            self.source_error = e
 
     def start_producer(self):
         self._producer = threading.Thread(target=self._produce, daemon=True)

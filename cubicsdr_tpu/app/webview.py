@@ -24,6 +24,15 @@ Endpoints
       theme      {name}                   waterfall palette
       view       {index|null}             select the demod-view spectrum
                                           target (GET /api/demod_spectrum)
+      zoom       {offset, bandwidth}      zoomed main-spectrum view
+                                          (continuity-preserving)
+  GET/POST /api/bookmarks  bookmark groups/recents/ranges + CRUD ops
+                           (ref: src/forms/Bookmark/BookmarkView.cpp)
+  GET/POST /api/gains      per-stage gain sliders backed by DeviceConfig,
+                           forwarded to a live source
+                           (ref: src/visual/GainCanvas.cpp)
+  GET  /api/devices        device enumeration
+                           (ref: src/forms/SDRDevices/SDRDevices.cpp)
 
 Control changes rebuild the pipeline's traced control vectors (retunes and
 squelch/gain/mute are jit INPUTS, so no recompile); add/remove of demods
@@ -133,10 +142,19 @@ class WebViewer:
     """Serves a LiveReceiver (app/runner.py) plus its DemodulatorMgr."""
 
     def __init__(self, receiver, mgr=None, keyed=None,
-                 host: str = "127.0.0.1", port: int = 8080):
+                 host: str = "127.0.0.1", port: int = 8080,
+                 bookmarks=None, config=None, device_info=None,
+                 source=None, enumerator=None):
+        from cubicsdr_tpu.app.bookmarks import BookmarkMgr
+        from cubicsdr_tpu.app.config import AppConfig
         self.receiver = receiver
         self.mgr = mgr
         self.keyed = keyed
+        self.bookmarks = bookmarks if bookmarks is not None else BookmarkMgr()
+        self.config = config if config is not None else AppConfig()
+        self.device_info = device_info    # SDRDeviceInfo of the live source
+        self.source = source              # live source (gain passthrough)
+        self.enumerator = enumerator
         self.host, self.port = host, port
         self._lock = threading.Lock()
         self._levels: dict[int, float] = {}
@@ -269,6 +287,116 @@ class WebViewer:
     def waterfall_png(self) -> bytes:
         return self.receiver.waterfall.render_png_bytes()
 
+    # ---- bookmarks (ref: src/forms/Bookmark/BookmarkView.cpp) ------------
+    def bookmarks_json(self) -> dict:
+        from dataclasses import asdict
+        b = self.bookmarks
+        return {
+            "groups": {g: [asdict(e) for e in b.get_bookmarks(g)]
+                       for g in b.get_groups()},
+            "recents": [asdict(e) for e in b.recents],
+            "ranges": [asdict(r) for r in b.ranges],
+        }
+
+    def bookmark_cmd(self, cmd: dict) -> dict:
+        """Bookmark surface: the drag/drop + context-menu operations of the
+        reference's BookmarkView as REST ops. ``activate`` spawns a demod
+        from an entry (double-click analog); adding a demod elsewhere pushes
+        recents (ref: BookmarkMgr::addRecent on demod creation)."""
+        from cubicsdr_tpu.app.bookmarks import BookmarkEntry, BookmarkRange
+        b = self.bookmarks
+        op = cmd.get("op")
+        if op == "add" and self.mgr is not None:
+            d = self.mgr.get_demodulators()[int(cmd["index"])]
+            b.add_bookmark(str(cmd.get("group", "Ungrouped")),
+                           BookmarkEntry.from_demod(d))
+        elif op == "remove":
+            g = str(cmd["group"])
+            b.remove_bookmark(g, b.get_bookmarks(g)[int(cmd["i"])])
+        elif op == "move":
+            src = str(cmd["from"])
+            b.move_bookmark(b.get_bookmarks(src)[int(cmd["i"])],
+                            src, str(cmd["to"]))
+        elif op == "rename_group":
+            b.rename_group(str(cmd["group"]), str(cmd["new"]))
+        elif op == "remove_group":
+            b.remove_group(str(cmd["group"]))
+        elif op == "activate" and self.mgr is not None:
+            src = (b.recents if cmd.get("group") == "recents"
+                   else b.get_bookmarks(str(cmd["group"])))
+            e = src[int(cmd["i"])]
+            d = self.mgr.new_demodulator(e.frequency, e.demod_type,
+                                         e.bandwidth)
+            d.gain, d.squelch_enabled = e.gain, e.squelch_enabled
+            d.squelch_level, d.label = e.squelch_level, e.label
+            d.write_modem_settings(dict(e.settings))
+            self._rebuild_plan()
+        elif op == "range_add":
+            b.add_range(BookmarkRange(
+                label=str(cmd.get("label", "")),
+                freq=float(cmd.get("freq", 0.0)),
+                start_freq=float(cmd["start"]), end_freq=float(cmd["end"])))
+        elif op == "range_remove":
+            b.remove_range(b.ranges[int(cmd["i"])])
+        elif op == "range_activate":
+            r = b.ranges[int(cmd["i"])]
+            self.receiver.center_freq = float(
+                r.freq or (r.start_freq + r.end_freq) / 2)
+            self._refresh_controls()
+        elif op == "save":
+            b.save_to_file(str(cmd["path"]))
+        elif op == "load":
+            if not b.load_from_file(str(cmd["path"])):
+                return {"ok": False, "error": "cannot load"}
+        else:
+            return {"ok": False, "error": f"unknown bookmark op {op}"}
+        return {"ok": True}
+
+    # ---- gain stages (ref: src/visual/GainCanvas.cpp per-stage sliders) --
+    def gains_json(self) -> dict:
+        dev = self.device_info
+        dev_id = dev.device_id if dev is not None else "synthetic=0"
+        dc = self.config.get_device(dev_id)
+        stages = []
+        caps = dev.gains if dev is not None else {}
+        for name, (lo, hi) in caps.items():
+            stages.append({"name": name, "min": lo, "max": hi,
+                           "value": dc.gains.get(name, lo)})
+        return {"device": dev_id, "agc": dc.agc_mode, "stages": stages}
+
+    def gain_cmd(self, cmd: dict) -> dict:
+        """Set one gain stage (slider drag analog). Persisted in
+        DeviceConfig; forwarded to a live source when attached. Manual gain
+        motion drops AGC, like the reference's gain UI."""
+        dev = self.device_info
+        dev_id = dev.device_id if dev is not None else "synthetic=0"
+        dc = self.config.get_device(dev_id)
+        if "agc" in cmd:
+            dc.agc_mode = bool(cmd["agc"])
+            if self.source is not None and hasattr(self.source, "set_agc"):
+                self.source.set_agc(dc.agc_mode)
+            return {"ok": True, "agc": dc.agc_mode}
+        name, value = str(cmd["name"]), float(cmd["value"])
+        if dev is not None and name in dev.gains:
+            lo, hi = dev.gains[name]
+            value = min(max(value, lo), hi)
+        dc.gains[name] = value
+        dc.agc_mode = False
+        if self.source is not None and hasattr(self.source, "set_gain"):
+            self.source.set_gain(name, value)
+            if hasattr(self.source, "set_agc"):
+                self.source.set_agc(False)
+        return {"ok": True, "name": name, "value": value}
+
+    # ---- device picker (ref: src/forms/SDRDevices/SDRDevices.cpp) -------
+    def devices_json(self) -> dict:
+        from dataclasses import asdict
+        from cubicsdr_tpu.io.devices import SDREnumerator
+        en = self.enumerator or SDREnumerator()
+        cur = self.device_info.device_id if self.device_info else None
+        return {"current": cur,
+                "devices": [asdict(d) for d in en.enumerate_devices()]}
+
     # ---- control ---------------------------------------------------------
     def control(self, cmd: dict) -> dict:
         r = self.receiver
@@ -313,15 +441,31 @@ class WebViewer:
                 d.solo = bool(value)
             elif key == "active":
                 d.active = bool(value)
+            elif key == "follow":
+                d.follow = bool(value)
+            elif key == "tracking":
+                d.tracking = bool(value)
+            elif key == "delta_lock":
+                # Enabling captures the current offset from the device
+                # center (ref: DemodulatorInstance delta-lock + AppFrame
+                # toggle semantics).
+                d.delta_lock = bool(value)
+                if d.delta_lock:
+                    d.delta_lock_ofs = int(
+                        d.frequency - self.receiver.center_freq)
             elif key == "label":
                 d.label = str(value)
             else:
                 return {"ok": False, "error": f"unknown key {key}"}
             self._refresh_controls()
         elif action == "add" and self.mgr is not None:
-            self.mgr.new_demodulator(float(cmd["freq"]),
-                                     str(cmd.get("type", "FM")),
-                                     float(cmd.get("bandwidth", 200000)))
+            d = self.mgr.new_demodulator(float(cmd["freq"]),
+                                         str(cmd.get("type", "FM")),
+                                         float(cmd.get("bandwidth", 200000)))
+            # New demods land in recents (ref: BookmarkMgr::addRecent fed
+            # from DemodulatorMgr updates).
+            from cubicsdr_tpu.app.bookmarks import BookmarkEntry
+            self.bookmarks.add_recent(BookmarkEntry.from_demod(d))
             self._rebuild_plan()
         elif action == "remove" and self.mgr is not None:
             inst = self.mgr.get_demodulators()[int(cmd["index"])]
@@ -338,9 +482,20 @@ class WebViewer:
         if self.mgr is None or self.keyed is None:
             return
         from cubicsdr_tpu.receiver.pipeline import controls_from_manager
+        r = self.receiver
+        # Follow / delta-lock / range sweep first: it may move demods (delta
+        # lock rides the center) or the center itself (follow retune) —
+        # ref: SDRPostThread.cpp:44-98 (run per block there; re-run here
+        # once when the center moved so newly-in-range demods reactivate,
+        # as the reference's next block pass would).
+        for _ in range(2):
+            new_center = self.mgr.update_active_demodulators(
+                r.center_freq, r.pipeline.sample_rate)
+            moved, r.center_freq = new_center != r.center_freq, new_center
+            if not moved:
+                break
         self.receiver.controls = controls_from_manager(
-            self.mgr, self.receiver.pipeline, self.keyed,
-            self.receiver.center_freq)
+            self.mgr, r.pipeline, self.keyed, r.center_freq)
 
     def _rebuild_plan(self):
         """Demod add/remove changes group shapes => new compiled plan,
@@ -413,6 +568,15 @@ class WebViewer:
                             pass
                     elif path == "/api/waterfall.png":
                         self._send(200, viewer.waterfall_png(), "image/png")
+                    elif path == "/api/bookmarks":
+                        self._send(200, json.dumps(
+                            viewer.bookmarks_json()).encode())
+                    elif path == "/api/gains":
+                        self._send(200,
+                                   json.dumps(viewer.gains_json()).encode())
+                    elif path == "/api/devices":
+                        self._send(200,
+                                   json.dumps(viewer.devices_json()).encode())
                     else:
                         self._send(404, b'{"error":"not found"}')
                 except Exception as e:      # noqa: BLE001
@@ -426,6 +590,12 @@ class WebViewer:
                     if path == "/api/control":
                         self._send(200,
                                    json.dumps(viewer.control(cmd)).encode())
+                    elif path == "/api/bookmarks":
+                        self._send(200, json.dumps(
+                            viewer.bookmark_cmd(cmd)).encode())
+                    elif path == "/api/gains":
+                        self._send(200,
+                                   json.dumps(viewer.gain_cmd(cmd)).encode())
                     elif path == "/api/session":
                         self._send(200,
                                    json.dumps(viewer.session_io(cmd))

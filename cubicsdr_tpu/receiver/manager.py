@@ -128,6 +128,36 @@ class DemodulatorMgr:
         self.last_gain = inst.gain
         self.last_modem_settings[inst.demod_type] = inst.read_modem_settings()
 
+    # --- follow / delta-lock / range sweep (ref: SDRPostThread.cpp:44-98)
+    def update_active_demodulators(self, center_freq: float,
+                                   sample_rate: float) -> float:
+        """The per-block activation sweep the reference runs before every
+        channelized block: delta-locked demods ride the device center;
+        out-of-range demods deactivate (unless follow/tracking); a FOLLOW
+        demod that fell out of range retunes the DEVICE CENTER to itself
+        (one-shot). Returns the possibly-moved center frequency."""
+        new_center = float(center_freq)
+        for d in self.get_demodulators():
+            if d.delta_lock:
+                want = center_freq + d.delta_lock_ofs
+                if d.frequency != want:
+                    d.frequency = want
+                    d.follow = False
+                    d.tracking = False
+            if abs(center_freq - d.frequency) > sample_rate / 2:
+                if self._last_active is d:
+                    d.active = False
+                elif d.active and not d.follow and not d.tracking:
+                    d.active = False
+                if d.follow and center_freq != d.frequency:
+                    new_center = float(d.frequency)   # move the device
+                    d.follow = False
+            elif not d.active:
+                d.active = True
+                if self._last_active is None:
+                    self.set_active_demodulator(d, temporary=False)
+        return new_center
+
     # --- persistence ---
     def save_instances(self) -> list[dict]:
         return [d.save() for d in self.demods]

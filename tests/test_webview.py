@@ -1,16 +1,23 @@
 """WebViewer: the headless UI analog (ref: src/AppFrame.*, src/visual/
-WaterfallCanvas.cpp mouse/hotkey surface) served over stdlib HTTP."""
+WaterfallCanvas.cpp mouse/hotkey surface) served over stdlib HTTP.
+
+One live server fixture per module (compile cost), per-endpoint tests —
+an early failure in one surface doesn't mask the rest."""
 
 import json
 import threading
 import urllib.request
 
 import numpy as np
+import pytest
 
 from cubicsdr_tpu.io.sources import SyntheticSource, Station
+from cubicsdr_tpu.ops.planar import PLANAR
 from cubicsdr_tpu.receiver import (
     DemodulatorMgr, ReceiverPipeline, plan_from_manager,
     controls_from_manager)
+
+FS = 1_000_000
 
 
 def _get(port, path):
@@ -27,120 +34,243 @@ def _post(port, path, body):
         return json.loads(r.read())
 
 
-def test_webview_endpoints_and_control(tmp_path):
-    from cubicsdr_tpu.app.runner import LiveReceiver
-    from cubicsdr_tpu.app.webview import WebViewer
+class _Harness:
+    def __init__(self):
+        from cubicsdr_tpu.app.runner import LiveReceiver
+        from cubicsdr_tpu.app.webview import WebViewer
+        from cubicsdr_tpu.io.devices import SDRDeviceInfo
 
-    fs = 1_000_000
-    mgr = DemodulatorMgr()
-    mgr.new_demodulator(100e6 + 200e3, "FM", 200000)
-    specs, keyed = plan_from_manager(mgr)
-    # Production representation: planar (the TPU path) — webview/runner must
-    # never construct complex64 device arrays.
-    from cubicsdr_tpu.ops.planar import PLANAR
-    rx = ReceiverPipeline(fs, specs, dtype=PLANAR)
-    controls = controls_from_manager(mgr, rx, keyed, 100e6)
+        self.mgr = DemodulatorMgr()
+        self.mgr.new_demodulator(100e6 + 200e3, "FM", 200000)
+        specs, keyed = plan_from_manager(self.mgr)
+        # Production representation: planar (the TPU path) — webview/runner
+        # must never construct complex64 device arrays.
+        rx = ReceiverPipeline(FS, specs, dtype=PLANAR)
+        controls = controls_from_manager(self.mgr, rx, keyed, 100e6)
+        harness = self
 
-    class _Src:
-        def __iter__(self):
-            src = SyntheticSource(fs, rx.block_len,
-                                  [Station(200e3, "fm", audio_freq=800.0)])
-            for _ in range(16):
-                yield next(src)
+        class _Src:
+            def __iter__(self):
+                src = SyntheticSource(
+                    FS, harness.lr.pipeline.block_len,
+                    [Station(200e3, "fm", audio_freq=800.0)])
+                while not harness.done.is_set():
+                    yield next(src)
 
-    lr = LiveReceiver(rx, controls, _Src(),
-                      center_freq=100e6, waterfall_fft=256,
-                      waterfall_lines=32)
-    viewer = WebViewer(lr, mgr, keyed, port=0).start()
-    port = viewer.port
-    try:
-        lr.start_producer()
-        lr.run_blocks(max_blocks=3)
+        self.done = threading.Event()
+        self.lr = LiveReceiver(rx, controls, _Src(),
+                               center_freq=100e6, waterfall_fft=256,
+                               waterfall_lines=32)
+        self.dev = SDRDeviceInfo("synthetic=0", "Synth", "synthetic",
+                                 gains={"LNA": (0.0, 40.0),
+                                        "VGA": (0.0, 20.0)})
+        self.viewer = WebViewer(self.lr, self.mgr, keyed, port=0,
+                                device_info=self.dev).start()
+        self.port = self.viewer.port
+        self.lr.start_producer()
+        self.lr.run_blocks(max_blocks=3)
 
-        page = _get(port, "/")
-        assert b"cubicsdr_tpu" in page
+    def run(self, n=2):
+        self.lr.run_blocks(max_blocks=n)
 
-        st = json.loads(_get(port, "/api/state"))
-        assert st["center_freq"] == 100e6
-        assert st["sample_rate"] == fs
-        assert len(st["demods"]) == 1
-        assert st["demods"][0]["type"] == "FM"
-        assert st["demods"][0]["level"] != 0.0     # on_block hook ran
-        assert "default" in st["themes"]
+    def stop(self):
+        self.done.set()
+        self.lr.stop()
+        self.viewer.stop()
 
-        sp = json.loads(_get(port, "/api/spectrum"))
-        assert len(sp["points"]) == 256
 
-        png = _get(port, "/api/waterfall.png")
-        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+@pytest.fixture(scope="module")
+def hx():
+    h = _Harness()
+    yield h
+    h.stop()
 
-        # Control surface: mute + retune are traced inputs (no recompile).
-        assert _post(port, "/api/control",
-                     {"action": "set", "index": 0, "key": "mute",
-                      "value": True})["ok"]
-        assert mgr.get_demodulators()[0].muted
-        assert _post(port, "/api/control",
-                     {"action": "tune", "freq": 100.1e6})["ok"]
-        assert lr.center_freq == 100.1e6
 
-        # Theme switch.
-        assert _post(port, "/api/control",
-                     {"action": "theme", "name": "jet"})["ok"]
-        assert lr.waterfall.theme_name == "jet"
+def test_index_page(hx):
+    assert b"cubicsdr_tpu" in _get(hx.port, "/")
 
-        # Demod-view spectrum: select demod 0, run blocks, points appear.
-        assert _post(port, "/api/control",
-                     {"action": "view", "index": 0})["ok"]
-        lr.run_blocks(max_blocks=2)
-        dv = json.loads(_get(port, "/api/demod_spectrum"))
-        assert dv["index"] == 0 and len(dv["points"]) == lr.demod_view_fft
 
-        # Plan change: add a second demod -> new compiled plan swaps in and
-        # further blocks run (the async worker-thread rebuild analog).
-        assert _post(port, "/api/control",
-                     {"action": "add", "freq": 100e6 - 200e3,
-                      "type": "AM", "bandwidth": 10000})["ok"]
-        assert len(mgr.get_demodulators()) == 2
-        lr.run_blocks(max_blocks=2)
-        st = json.loads(_get(port, "/api/state"))
-        assert len(st["demods"]) == 2
+def test_state(hx):
+    st = json.loads(_get(hx.port, "/api/state"))
+    assert st["center_freq"] == 100e6
+    assert st["sample_rate"] == FS
+    assert st["demods"][0]["type"] == "FM"
+    assert st["demods"][0]["level"] != 0.0     # on_block hook ran
+    assert "default" in st["themes"]
 
-        assert _post(port, "/api/control",
-                     {"action": "remove", "index": 1})["ok"]
-        assert len(mgr.get_demodulators()) == 1
 
-        # Unknown action surfaces an error, not a 500.
-        r = _post(port, "/api/control", {"action": "bogus"})
-        assert not r["ok"]
+def test_spectrum_and_waterfall(hx):
+    sp = json.loads(_get(hx.port, "/api/spectrum"))
+    assert len(sp["points"]) == 256
+    png = _get(hx.port, "/api/waterfall.png")
+    assert png[:8] == b"\x89PNG\r\n\x1a\n"
 
-        # Scope traces from the live mix (Y / 2Y / XY modes).
-        sc = json.loads(_get(port, "/api/scope?mode=2Y"))
-        assert sc["mode"] == "2Y" and len(sc["traces"]) == 2
 
-        # Live audio stream: run blocks concurrently, read WAV header +
-        # some PCM (the web-world RtAudio output). Unmute first (muted
-        # above) so the tone reaches the mix.
-        assert _post(port, "/api/control",
-                     {"action": "set", "index": 0, "key": "mute",
-                      "value": False})["ok"]
-        t = threading.Thread(target=lr.run_blocks,
-                             kwargs={"max_blocks": 4}, daemon=True)
-        t.start()
-        with urllib.request.urlopen(
-                f"http://127.0.0.1:{port}/api/audio.wav", timeout=15) as rsp:
-            head = rsp.read(44 + 9600)
-        t.join(timeout=20)
-        assert head[:4] == b"RIFF" and head[8:12] == b"WAVE"
-        pcm = np.frombuffer(head[44:], "<i2")
-        assert np.abs(pcm).max() > 0       # tone present in the mix
+def test_control_set_and_tune(hx):
+    # Control surface: mute + retune are traced inputs (no recompile).
+    assert _post(hx.port, "/api/control",
+                 {"action": "set", "index": 0, "key": "mute",
+                  "value": True})["ok"]
+    assert hx.mgr.get_demodulators()[0].muted
+    assert _post(hx.port, "/api/control",
+                 {"action": "set", "index": 0, "key": "mute",
+                  "value": False})["ok"]
+    assert _post(hx.port, "/api/control",
+                 {"action": "tune", "freq": 100.1e6})["ok"]
+    assert hx.lr.center_freq == 100.1e6
+    _post(hx.port, "/api/control", {"action": "tune", "freq": 100e6})
 
-        # Session save/load round-trip through the API.
-        sp_path = str(tmp_path / "sess.json")
-        assert _post(port, "/api/session",
-                     {"op": "save", "path": sp_path})["ok"]
-        assert _post(port, "/api/session",
-                     {"op": "load", "path": sp_path})["ok"]
-        assert len(mgr.get_demodulators()) == 1
-    finally:
-        lr.stop()
-        viewer.stop()
+
+def test_theme(hx):
+    assert _post(hx.port, "/api/control",
+                 {"action": "theme", "name": "jet"})["ok"]
+    assert hx.lr.waterfall.theme_name == "jet"
+
+
+def test_demod_view_spectrum(hx):
+    assert _post(hx.port, "/api/control",
+                 {"action": "view", "index": 0})["ok"]
+    hx.run(2)
+    dv = json.loads(_get(hx.port, "/api/demod_spectrum"))
+    assert dv["index"] == 0 and len(dv["points"]) == hx.lr.demod_view_fft
+
+
+def test_zoom_view(hx):
+    assert _post(hx.port, "/api/control",
+                 {"action": "zoom", "offset": 200e3,
+                  "bandwidth": 250e3})["ok"]
+    hx.run(6)
+    sp = json.loads(_get(hx.port, "/api/spectrum"))
+    assert sp["zoom"]["bandwidth"] == 250e3
+    assert len(sp["zoom"]["points"]) == 256
+    assert _post(hx.port, "/api/control",
+                 {"action": "zoom", "offset": None})["ok"]
+
+
+def test_plan_swap_add_remove(hx):
+    # Plan change: add a second demod -> new compiled plan swaps in and
+    # further blocks run (the async worker-thread rebuild analog).
+    assert _post(hx.port, "/api/control",
+                 {"action": "add", "freq": 100e6 - 200e3,
+                  "type": "AM", "bandwidth": 10000})["ok"]
+    assert len(hx.mgr.get_demodulators()) == 2
+    hx.run(2)
+    st = json.loads(_get(hx.port, "/api/state"))
+    assert len(st["demods"]) == 2
+    assert _post(hx.port, "/api/control",
+                 {"action": "remove", "index": 1})["ok"]
+    assert len(hx.mgr.get_demodulators()) == 1
+    hx.run(1)
+
+
+def test_unknown_action_is_an_error_not_500(hx):
+    r = _post(hx.port, "/api/control", {"action": "bogus"})
+    assert not r["ok"]
+
+
+def test_scope(hx):
+    sc = json.loads(_get(hx.port, "/api/scope?mode=2Y"))
+    assert sc["mode"] == "2Y" and len(sc["traces"]) == 2
+
+
+def test_audio_stream(hx):
+    t = threading.Thread(target=hx.run, args=(4,), daemon=True)
+    t.start()
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{hx.port}/api/audio.wav", timeout=15) as rsp:
+        head = rsp.read(44 + 9600)
+    t.join(timeout=20)
+    assert head[:4] == b"RIFF" and head[8:12] == b"WAVE"
+    pcm = np.frombuffer(head[44:], "<i2")
+    assert np.abs(pcm).max() > 0       # tone present in the mix
+
+
+def test_session_roundtrip(hx, tmp_path):
+    sp_path = str(tmp_path / "sess.json")
+    assert _post(hx.port, "/api/session", {"op": "save", "path": sp_path})["ok"]
+    assert _post(hx.port, "/api/session", {"op": "load", "path": sp_path})["ok"]
+    assert len(hx.mgr.get_demodulators()) == 1
+
+
+def test_bookmarks_crud_and_recents(hx, tmp_path):
+    # New demods land in recents ("add" earlier in the module pushed one).
+    b = json.loads(_get(hx.port, "/api/bookmarks"))
+    assert any(e["demod_type"] == "AM" for e in b["recents"])
+    # Bookmark the live demod, move it across groups, activate a copy.
+    assert _post(hx.port, "/api/bookmarks",
+                 {"op": "add", "index": 0, "group": "Air"})["ok"]
+    assert _post(hx.port, "/api/bookmarks",
+                 {"op": "move", "from": "Air", "i": 0, "to": "Marine"})["ok"]
+    b = json.loads(_get(hx.port, "/api/bookmarks"))
+    assert [e["demod_type"] for e in b["groups"]["Marine"]] == ["FM"]
+    assert b["groups"]["Air"] == []
+    n0 = len(hx.mgr.get_demodulators())
+    assert _post(hx.port, "/api/bookmarks",
+                 {"op": "activate", "group": "Marine", "i": 0})["ok"]
+    assert len(hx.mgr.get_demodulators()) == n0 + 1
+    hx.run(1)
+    _post(hx.port, "/api/control",
+          {"action": "remove", "index": n0})   # restore plan
+    # Ranges.
+    assert _post(hx.port, "/api/bookmarks",
+                 {"op": "range_add", "label": "2m", "start": 144e6,
+                  "end": 148e6})["ok"]
+    assert _post(hx.port, "/api/bookmarks", {"op": "range_activate",
+                                             "i": 0})["ok"]
+    assert hx.lr.center_freq == 146e6
+    _post(hx.port, "/api/control", {"action": "tune", "freq": 100e6})
+    # Persistence with the .backup chain.
+    path = str(tmp_path / "bm.json")
+    assert _post(hx.port, "/api/bookmarks", {"op": "save", "path": path})["ok"]
+    assert _post(hx.port, "/api/bookmarks", {"op": "load", "path": path})["ok"]
+    b = json.loads(_get(hx.port, "/api/bookmarks"))
+    assert "Marine" in b["groups"]
+
+
+def test_gain_stages(hx):
+    g = json.loads(_get(hx.port, "/api/gains"))
+    assert {s["name"] for s in g["stages"]} == {"LNA", "VGA"}
+    assert g["agc"] is True
+    # Slider drag: persists to DeviceConfig, clamps to caps, drops AGC.
+    r = _post(hx.port, "/api/gains", {"name": "LNA", "value": 99.0})
+    assert r["ok"] and r["value"] == 40.0
+    g = json.loads(_get(hx.port, "/api/gains"))
+    assert g["agc"] is False
+    assert {s["name"]: s["value"] for s in g["stages"]}["LNA"] == 40.0
+    assert _post(hx.port, "/api/gains", {"agc": True})["agc"] is True
+
+
+def test_devices_listing(hx):
+    d = json.loads(_get(hx.port, "/api/devices"))
+    assert d["current"] == "synthetic=0"
+    assert any(dev["device_id"] == "synthetic=0" for dev in d["devices"])
+
+
+def test_follow_and_delta_lock(hx):
+    mgr, lr, port = hx.mgr, hx.lr, hx.port
+    d0 = mgr.get_demodulators()[0]
+    # Delta lock: demod rides the center on tune (ref: SDRPostThread.cpp:
+    # 56-63).
+    assert _post(port, "/api/control",
+                 {"action": "set", "index": 0, "key": "delta_lock",
+                  "value": True})["ok"]
+    ofs = d0.frequency - lr.center_freq
+    _post(port, "/api/control", {"action": "tune", "freq": 108e6})
+    assert d0.frequency == 108e6 + ofs
+    _post(port, "/api/control",
+          {"action": "set", "index": 0, "key": "delta_lock", "value": False})
+    # Follow: an out-of-range follow demod retunes the CENTER to itself
+    # (ref :77-80).
+    _post(port, "/api/control",
+          {"action": "set", "index": 0, "key": "follow", "value": True})
+    _post(port, "/api/control",
+          {"action": "set", "index": 0, "key": "frequency",
+           "value": 120e6})                  # way out of the 1 MS/s band
+    assert lr.center_freq == 120e6
+    assert not d0.follow                     # one-shot
+    # In-range demods (re)activate in the sweep.
+    assert d0.active
+    _post(port, "/api/control", {"action": "tune", "freq": 100e6})
+    _post(port, "/api/control",
+          {"action": "set", "index": 0, "key": "frequency",
+           "value": 100e6 + 200e3})
