@@ -12,7 +12,7 @@ M-tap analysis window as a sublane concat of two lane-shifted slices — no
 in-kernel reshape, reverse, or transpose (none of which lower to TPU). The
 window reversal is folded into the host-precomputed taps/DFT rows.
 
-Matches ChannelizerPFB2 / PlanarFMFarm._channelize numerics exactly (see
+Matches ChannelizerPFB2 planar numerics exactly (see
 tests/test_pallas_pfb.py). Grid: i over tiles of T output steps; program i
 DMAs rows [i*T, i*T + T + 2J - 1) — the overlap is the filter history halo,
 the same samples the time-sharded version exchanges over ICI.

@@ -9,7 +9,7 @@ planar DFT matrix instead of an opaque complex FFT.
 
 A ``PC`` pair is just a tuple-like pytree (re, im); helpers below implement
 the complex algebra and the conv/DFT primitives used by the planar receiver
-(receiver/planar_fm.py).
+(receiver/pipeline.py, dtype=PLANAR).
 """
 
 from __future__ import annotations

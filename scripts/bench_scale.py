@@ -1,4 +1,5 @@
-"""Dispatch-amortization sweep: K blocks/scan x block_len, pallas path."""
+"""Dispatch-amortization sweep on the unified ReceiverPipeline:
+K blocks/scan x block-length multiplier, pallas channelizer path."""
 
 import time
 
@@ -6,33 +7,33 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from cubicsdr_tpu.ops.planar import PC
-from cubicsdr_tpu.receiver.planar_fm import PlanarFMFarm
+import sys
+sys.path.insert(0, "/root/repo")
+
+from cubicsdr_tpu.ops.planar import PC       # noqa: E402
+from bench import build_pipeline             # noqa: E402
 
 
 def run(K, blk_mult, n_iters=10):
-    fs = 8_000_000
-    N = 16
-    base = PlanarFMFarm(fs, num_channels=16, n_demods=N, use_pallas=True)
-    L = int(base.block_len * blk_mult)
-    L -= L % base.block_multiple
-    L -= L % (base.D * 128)
-    farm = PlanarFMFarm(fs, num_channels=16, n_demods=N, block_len=L,
-                        use_pallas=True)
-    freqs = jnp.asarray([(i - N // 2) * 500e3 + 20e3 for i in range(N)],
-                        jnp.float32)
+    rx0, _ = build_pipeline(16)
+    L = int(rx0.block_len * blk_mult)
+    m = int(np.lcm(rx0.group_block_multiple(0), rx0._decim * 128))
+    L = max(m, L - L % m)
+    rx, controls = build_pipeline(16, block_len=L)
     rng = np.random.default_rng(0)
     iqs = PC(jnp.asarray(rng.standard_normal((K, L)).astype(np.float32)),
              jnp.asarray(rng.standard_normal((K, L)).astype(np.float32)))
 
     def multi(state, iqs):
         def body(s, iq):
-            s, audio, mix, level = farm.step(s, iq, freqs)
-            return s, (mix, level)
+            s, out = rx.apply(s, (iq, controls))
+            return s, (out["mix"],
+                       jnp.concatenate([g["level"]
+                                        for g in out["groups"]], -1))
         return jax.lax.scan(body, state, iqs)
 
     step = jax.jit(multi, donate_argnums=(0,))
-    state = farm.init_state()
+    state = rx.init_state()
     for _ in range(2):
         state, outs = step(state, iqs)
     jax.block_until_ready(outs)
@@ -46,7 +47,5 @@ def run(K, blk_mult, n_iters=10):
 
 
 if __name__ == "__main__":
-    import sys
-    for spec in sys.argv[1:]:
-        k, m = spec.split(":")
-        run(int(k), float(m))
+    for K, bm in [(4, 1), (8, 1), (16, 1), (8, 2), (8, 4), (4, 8)]:
+        run(K, bm)
