@@ -185,7 +185,14 @@ def cmd_serve(args):
     rx = ReceiverPipeline(rate, specs, chan_mode=args.channelizer,
                           dtype=PLANAR)
     controls = controls_from_manager(mgr, rx, keyed, center)
-    if args.input:
+    device_info = None
+    if args.soapy is not None:
+        # Live hardware: "driver=rtlsdr,..." SoapySDR args string.
+        from cubicsdr_tpu.io.soapy import SoapySDRSource
+        src = SoapySDRSource(args.soapy, sample_rate=rate,
+                             frequency=center, block_len=rx.block_len)
+        rate = src.sample_rate            # device may renegotiate
+    elif args.input:
         src = FileIQSource(args.input, rate, rx.block_len, loop=True)
     else:
         src = SyntheticSource(rate, rx.block_len,
@@ -195,7 +202,18 @@ def cmd_serve(args):
                       record_path=args.record,
                       waterfall_fft=args.fft_size)
     viewer = WebViewer(lr, mgr, keyed, host=args.host,
-                       port=args.port).start()
+                       port=args.port, device_info=device_info,
+                       source=src).start()
+    if args.rig:
+        from cubicsdr_tpu.app.rig import (RigController, SimulatedRig,
+                                          open_hamlib_rig)
+        if args.rig == "sim":
+            rig = SimulatedRig(center)
+        else:                              # "hamlib:<model>:<port>[:baud]"
+            parts = args.rig.split(":")
+            rig = open_hamlib_rig(int(parts[1]), parts[2],
+                                  int(parts[3]) if len(parts) > 3 else 9600)
+        viewer.attach_rig(RigController(rig))
     print(f"serving http://{args.host}:{viewer.port}/  "
           f"(center {format_frequency(center)}, rate {rate:.0f})")
     lr.start_producer()
@@ -284,6 +302,10 @@ def main(argv=None):
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("-p", "--port", type=int, default=8080)
     s.add_argument("--fft-size", type=int, default=1024)
+    s.add_argument("--soapy", default=None,
+                   help='live SoapySDR device args, e.g. "driver=rtlsdr"')
+    s.add_argument("--rig", default=None,
+                   help='rig control: "sim" or "hamlib:<model>:<port>[:baud]"')
     s.add_argument("--record", default=None,
                    help="base path to record per-demod WAVs")
     s.add_argument("--channelizer", default="pfbch2",

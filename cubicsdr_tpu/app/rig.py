@@ -61,8 +61,8 @@ class RigController:
     """Mode logic decoupled from any thread: call ``poll()`` at the poll
     cadence with the app's current state; it returns actions."""
 
-    def __init__(self, rig, get_app_freq: Callable[[], float],
-                 set_app_freq: Callable[[float], None]):
+    def __init__(self, rig, get_app_freq: Optional[Callable[[], float]] = None,
+                 set_app_freq: Optional[Callable[[float], None]] = None):
         self.rig = rig
         self.get_app_freq = get_app_freq
         self.set_app_freq = set_app_freq

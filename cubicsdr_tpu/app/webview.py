@@ -388,6 +388,63 @@ class WebViewer:
                 self.source.set_agc(False)
         return {"ok": True, "name": name, "value": value}
 
+    # ---- rig integration (ref: src/rig/RigThread.cpp:133-207 poll loop) --
+    def attach_rig(self, controller, poll_every_s: float = 0.25):
+        """Poll the rig between blocks (the RigThread cadence): follow mode
+        retunes the app center from the rig; control mode pushes app tunes
+        to the rig; follow-modem tracks the active demod."""
+        import time as _time
+        self.rig = controller
+        r = self.receiver
+        controller.get_app_freq = lambda: r.center_freq
+
+        def _set_app_freq(f):
+            r.center_freq = float(f)
+            self._refresh_controls()
+
+        controller.set_app_freq = _set_app_freq
+        state = {"t": 0.0}
+        prev = r.on_block
+
+        def hook(out):
+            now = _time.monotonic()
+            if now - state["t"] >= poll_every_s:
+                state["t"] = now
+                mf = None
+                if controller.follow_modem and self.mgr is not None:
+                    d = self.mgr.get_last_active_demodulator()
+                    mf = d.frequency if d is not None else None
+                controller.poll(modem_freq=mf)
+            if prev is not None:
+                prev(out)
+
+        r.on_block = hook
+
+    def rig_json(self) -> dict:
+        c = getattr(self, "rig", None)
+        if c is None:
+            return {"attached": False}
+        return {"attached": True,
+                "frequency": float(c.rig.get_frequency()),
+                "control": c.control_mode, "follow": c.follow_mode,
+                "center_lock": c.center_lock,
+                "follow_modem": c.follow_modem,
+                "error": c.last_error.name}
+
+    def rig_cmd(self, cmd: dict) -> dict:
+        c = getattr(self, "rig", None)
+        if c is None:
+            return {"ok": False, "error": "no rig attached"}
+        for key in ("control_mode", "follow_mode", "center_lock",
+                    "follow_modem"):
+            if key in cmd:
+                setattr(c, key, bool(cmd[key]))
+        if "frequency" in cmd:
+            c.rig.set_frequency(float(cmd["frequency"]))
+        return {"ok": True, **{k: getattr(c, k) for k in
+                               ("control_mode", "follow_mode",
+                                "center_lock", "follow_modem")}}
+
     # ---- device picker (ref: src/forms/SDRDevices/SDRDevices.cpp) -------
     def devices_json(self) -> dict:
         from dataclasses import asdict
@@ -577,6 +634,9 @@ class WebViewer:
                     elif path == "/api/devices":
                         self._send(200,
                                    json.dumps(viewer.devices_json()).encode())
+                    elif path == "/api/rig":
+                        self._send(200,
+                                   json.dumps(viewer.rig_json()).encode())
                     else:
                         self._send(404, b'{"error":"not found"}')
                 except Exception as e:      # noqa: BLE001
@@ -596,6 +656,9 @@ class WebViewer:
                     elif path == "/api/gains":
                         self._send(200,
                                    json.dumps(viewer.gain_cmd(cmd)).encode())
+                    elif path == "/api/rig":
+                        self._send(200,
+                                   json.dumps(viewer.rig_cmd(cmd)).encode())
                     elif path == "/api/session":
                         self._send(200,
                                    json.dumps(viewer.session_io(cmd))

@@ -246,6 +246,33 @@ def test_devices_listing(hx):
     assert any(dev["device_id"] == "synthetic=0" for dev in d["devices"])
 
 
+def test_rig_attach_and_rest(hx):
+    """Rig wired into the live loop (ref: src/rig/RigThread.cpp:133-207):
+    follow mode retunes the app center from rig motion; REST mode toggles."""
+    from cubicsdr_tpu.app.rig import RigController, SimulatedRig
+    rig = SimulatedRig(100e6)
+    hx.viewer.attach_rig(RigController(rig), poll_every_s=0.0)
+    st = json.loads(_get(hx.port, "/api/rig"))
+    assert st["attached"] and st["error"] == "OK"
+    hx.run(1)                                   # baseline poll
+    rig.frequency = 101e6                       # rig moved -> app follows
+    hx.run(1)
+    assert hx.lr.center_freq == 101e6
+    # Control mode: app tune pushes to the rig on the next poll.
+    _post(hx.port, "/api/control", {"action": "tune", "freq": 100e6})
+    hx.run(1)
+    assert rig.frequency == 100e6
+    # Mode toggles via REST.
+    r = _post(hx.port, "/api/rig", {"center_lock": True})
+    assert r["ok"] and r["center_lock"]
+    rig.frequency = 107e6
+    hx.run(1)
+    assert hx.lr.center_freq == 100e6           # locked: app stays
+    _post(hx.port, "/api/rig", {"center_lock": False,
+                                "frequency": 100e6})
+    hx.run(1)
+
+
 def test_follow_and_delta_lock(hx):
     mgr, lr, port = hx.mgr, hx.lr, hx.port
     d0 = mgr.get_demodulators()[0]
