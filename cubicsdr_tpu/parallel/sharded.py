@@ -327,6 +327,31 @@ class ShardedReceiver:
         sh = jax.sharding.NamedSharding(self.mesh, P("time"))
         return PC(jax.device_put(iq.re, sh), jax.device_put(iq.im, sh))
 
+    def shard_iq_local(self, local_planes: np.ndarray):
+        """Multi-host DCN ingest scatter (SURVEY §2.11): each host supplies
+        ONLY its own time-shard of the block as float32 planes
+        [2, block_len // n_processes] (its local SDR/socket sources feed
+        just that span), and the global sharded array is assembled without
+        gathering samples on any single host —
+        ``jax.make_array_from_process_local_data`` maps each process's
+        planes onto its local devices; DCN then carries only the compiled
+        step's collectives, never raw IQ.
+
+        Single-process (tests, one host): local == global and this is
+        equivalent to ``shard_iq``.
+        """
+        local_planes = np.ascontiguousarray(local_planes, np.float32)
+        n_proc = jax.process_count()
+        expect = self.block_len // n_proc
+        assert local_planes.shape == (2, expect), (
+            f"host shard must be [2, {expect}], got {local_planes.shape}")
+        sh = jax.sharding.NamedSharding(self.mesh, P("time"))
+        re = jax.make_array_from_process_local_data(
+            sh, local_planes[0], global_shape=(self.block_len,))
+        im = jax.make_array_from_process_local_data(
+            sh, local_planes[1], global_shape=(self.block_len,))
+        return PC(re, im)
+
     def place_controls(self, controls):
         sh = jax.sharding.NamedSharding(self.mesh, P("chan"))
         return [

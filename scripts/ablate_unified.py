@@ -90,7 +90,8 @@ def main():
         omega = shift_omegas(freqs, centers[chan_idx], rx.chan_rate)
         sf, y = fe.apply(sf, (x, omega))
         sk, ko = kit.apply(sk, y)
-        return (sc, sf, sk), jnp.sum(ko["audio"])
+        return (sc, sf, sk), jax.tree.reduce(
+            lambda a, b: a + b, jax.tree.map(jnp.sum, ko))
     fn, st = scan(b_kit, (rx.channelizer.init_state(), fe.init_state(),
                           kit.init_state()))
     t = timeit(fn, st, iqs)

@@ -100,6 +100,32 @@ def test_sharded_matches_unified_pipeline(nt, nc):
                 assert agree > 0.999, agree
 
 
+def test_shard_iq_local_matches_shard_iq():
+    """The multi-host ingest-scatter path (make_array_from_process_local_
+    data) must produce the same sharded array as the single-host placement
+    on a 1-process mesh — and feed the sharded step identically."""
+    mesh = make_receiver_mesh(n_time=4, n_chan=1,
+                              devices=jax.devices()[:4])
+    rx = ShardedReceiver(1_000_000, num_channels=8,
+                         groups=[DemodGroupSpec("FM", 200000, 2)],
+                         mesh=mesh)
+    rng = np.random.default_rng(3)
+    iq = (rng.standard_normal(rx.block_len)
+          + 1j * rng.standard_normal(rx.block_len)).astype(np.complex64)
+    a = rx.shard_iq(iq)
+    planes = np.stack([iq.real, iq.imag]).astype(np.float32)
+    b = rx.shard_iq_local(planes)
+    np.testing.assert_array_equal(np.asarray(a.re), np.asarray(b.re))
+    np.testing.assert_array_equal(np.asarray(a.im), np.asarray(b.im))
+    assert b.re.sharding.is_equivalent_to(a.re.sharding, a.re.ndim)
+    controls = rx.control_template()
+    controls[0]["frequency"][:] = 150e3
+    step = rx.make_step()
+    st = rx.place_state(rx.init_state())
+    st, out = step(st, b, controls)
+    assert np.isfinite(np.asarray(out["mix"])).all()
+
+
 def test_graft_entry_single():
     import __graft_entry__
     fn, (state, x) = __graft_entry__.entry()
