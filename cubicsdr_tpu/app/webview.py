@@ -160,18 +160,47 @@ class WebViewer:
         self._levels: dict[int, float] = {}
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
+        self._consoles: dict[int, object] = {}   # flat idx -> DigitalConsole
         prev = receiver.on_block
 
         def hook(out):
             lv = []
-            for g in out.get("groups", []):
-                lv.extend(np.asarray(g["level"]).ravel().tolist())
+            off = 0
+            for gi, g in enumerate(out.get("groups", [])):
+                rows = np.asarray(g["level"]).ravel()
+                lv.extend(rows.tolist())
+                if "symbols" in g:
+                    self._feed_console(gi, off, np.asarray(g["symbols"]))
+                off += rows.shape[0]
             with self._lock:
                 self._levels = dict(enumerate(lv))
             if prev is not None:
                 prev(out)
 
         receiver.on_block = hook
+
+    def _feed_console(self, gi: int, off: int, symbols: np.ndarray):
+        """Live digital-lab console feed (ref: DemodulatorInstance.cpp:
+        658-689 console output; src/forms/DigitalConsole)."""
+        from cubicsdr_tpu.app.digital_console import DigitalConsole
+        bps = 1
+        try:
+            bps = int(self.receiver.pipeline._modems[gi].bits_per_symbol())
+        except Exception:
+            pass
+        for ri in range(symbols.shape[0]):
+            key = off + ri
+            if key not in self._consoles:
+                self._consoles[key] = DigitalConsole(bits_per_symbol=bps)
+            self._consoles[key].write_symbols(symbols[ri])
+
+    def console_json(self, index: int, view: str = "text") -> dict:
+        c = self._consoles.get(index)
+        if c is None:
+            return {"index": index, "text": "", "views": []}
+        body = (c.hex_view() if view == "hex"
+                else c.ascii_view() if view == "ascii" else c.text)
+        return {"index": index, "view": view, "text": body[-4096:]}
 
     # ---- state snapshots -------------------------------------------------
     def _flat_order(self) -> list:
@@ -573,6 +602,7 @@ class WebViewer:
         step = jax.jit(pipeline.apply)
         state = pipeline.init_state()
         r.set_demod_view(None)       # flat indices change with the plan
+        self._consoles.clear()
         with self._lock:
             self.keyed = keyed
             r.pipeline, r.controls, r.step, r.state = (
@@ -637,6 +667,13 @@ class WebViewer:
                     elif path == "/api/rig":
                         self._send(200,
                                    json.dumps(viewer.rig_json()).encode())
+                    elif path == "/api/console":
+                        q = dict(p.split("=", 1) for p in
+                                 (self.path.split("?", 1) + [""])[1].split(
+                                     "&") if "=" in p)
+                        self._send(200, json.dumps(viewer.console_json(
+                            int(q.get("index", 0)),
+                            q.get("view", "text"))).encode())
                     else:
                         self._send(404, b'{"error":"not found"}')
                 except Exception as e:      # noqa: BLE001

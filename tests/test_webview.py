@@ -246,6 +246,22 @@ def test_devices_listing(hx):
     assert any(dev["device_id"] == "synthetic=0" for dev in d["devices"])
 
 
+def test_digital_console_live_feed(hx):
+    """A digital demod in the live plan streams its sliced symbols into the
+    per-demod console, readable over /api/console (ref: DemodulatorInstance
+    .cpp:658-689, src/forms/DigitalConsole)."""
+    assert _post(hx.port, "/api/control",
+                 {"action": "add", "freq": 100e6 + 200e3,
+                  "type": "BPSK", "bandwidth": 20000})["ok"]
+    hx.run(3)
+    c = json.loads(_get(hx.port, "/api/console?index=1&view=text"))
+    assert len(c["text"]) > 0
+    ch = json.loads(_get(hx.port, "/api/console?index=1&view=hex"))
+    assert ch["view"] == "hex"
+    _post(hx.port, "/api/control", {"action": "remove", "index": 1})
+    hx.run(1)
+
+
 def test_rig_attach_and_rest(hx):
     """Rig wired into the live loop (ref: src/rig/RigThread.cpp:133-207):
     follow mode retunes the app center from rig motion; REST mode toggles."""
