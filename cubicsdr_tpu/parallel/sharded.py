@@ -67,7 +67,14 @@ class ShardedReceiver:
                  n_demods: int | None = None,
                  mesh: jax.sharding.Mesh | None = None,
                  bandwidth: float = 200_000.0, audio_rate: int = 48_000,
-                 block_len: int | None = None, use_pallas: bool = False):
+                 block_len: int | None = None, use_pallas: bool = False,
+                 spectrum_fft: int | None = None):
+        # spectrum_fft: full-band spectrum tap — each time shard computes
+        # the |FFT| of its newest fftSizeInternal window and the frames are
+        # assembled across shards with an all-gather over ICI (SURVEY §2.11
+        # "all-gather spectrum assembly"); feed the result to the display
+        # EMA (visual/spectrum.frame_update) on the host or a viz chip.
+        self.spectrum_fft = spectrum_fft
         self.mesh = mesh if mesh is not None else make_receiver_mesh()
         self.nt = self.mesh.shape["time"]
         self.nc = self.mesh.shape["chan"]
@@ -215,8 +222,11 @@ class ShardedReceiver:
                                "level": P("chan"), "floor": P("chan"),
                                "ceil": P("chan"), "squelched": P("chan"),
                                "peak": P("chan")})
-        return {"mix": P(None, "time"), "mix_peak": P(),
-                "groups": gspecs}
+        out = {"mix": P(None, "time"), "mix_peak": P(),
+               "groups": gspecs}
+        if self.spectrum_fft:
+            out["spectrum_mags"] = P()     # all-gathered -> replicated
+        return out
 
     def _shard_body(self, state, iq_local, controls):
         """Runs per-device inside shard_map. iq_local: PC [local_len];
@@ -291,8 +301,24 @@ class ShardedReceiver:
 
         new_state = {"chan": _add_time(c_chan), "dc": _add_time(c_dc),
                      "groups": tuple(new_groups)}
-        return new_state, {"mix": mix, "mix_peak": mix_peak,
-                           "groups": group_outs}
+        outs = {"mix": mix, "mix_peak": mix_peak, "groups": group_outs}
+
+        # ---- spectrum assembly: one |FFT| frame per time shard, gathered
+        # in shard order over the 'time' axis (ICI all-gather) ----
+        if self.spectrum_fft:
+            from cubicsdr_tpu.ops.planar import pc_fft_four_step
+            n = self.spectrum_fft * 2            # fftSizeInternal (VZM)
+            assert self.local_len >= n, (self.local_len, n)
+            win = iq_local.slice_last(slice(self.local_len - n, None))
+            n1 = 1 << (int(np.log2(n)) // 2)
+            while n % n1:
+                n1 >>= 1
+            X = pc_fft_four_step(win, n1, n // n1)
+            mag = jnp.roll(jnp.sqrt(X.re * X.re + X.im * X.im),
+                           n // 2, axis=-1)
+            outs["spectrum_mags"] = jax.lax.all_gather(mag, "time")
+
+        return new_state, outs
 
     def make_step(self):
         """Returns jitted step(state, iq PC[block_len], controls) ->

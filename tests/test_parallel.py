@@ -100,6 +100,34 @@ def test_sharded_matches_unified_pipeline(nt, nc):
                 assert agree > 0.999, agree
 
 
+def test_sharded_spectrum_assembly():
+    """Each time shard's |FFT| frame, all-gathered over the 'time' axis,
+    equals the frames computed directly from the corresponding windows of
+    the unsharded stream (SURVEY §2.11 all-gather spectrum assembly)."""
+    nt = 4
+    mesh = make_receiver_mesh(n_time=nt, n_chan=1,
+                              devices=jax.devices()[:nt])
+    fft = 128
+    rx = ShardedReceiver(1_000_000, num_channels=8,
+                         groups=[DemodGroupSpec("FM", 200000, 2)],
+                         mesh=mesh, spectrum_fft=fft)
+    rng = np.random.default_rng(5)
+    iq = (rng.standard_normal(rx.block_len)
+          + 1j * rng.standard_normal(rx.block_len)).astype(np.complex64)
+    controls = rx.control_template()
+    step = rx.make_step()
+    st = rx.place_state(rx.init_state())
+    st, out = step(st, rx.shard_iq(iq), controls)
+    mags = np.asarray(out["spectrum_mags"])
+    n = fft * 2
+    assert mags.shape == (nt, n)
+    L = rx.local_len
+    for k in range(nt):
+        win = iq[(k + 1) * L - n:(k + 1) * L]
+        ref = np.fft.fftshift(np.abs(np.fft.fft(win)))
+        np.testing.assert_allclose(mags[k], ref, rtol=2e-3, atol=2e-2)
+
+
 def test_shard_iq_local_matches_shard_iq():
     """The multi-host ingest-scatter path (make_array_from_process_local_
     data) must produce the same sharded array as the single-host placement
