@@ -488,7 +488,23 @@ class WebViewer:
         r = self.receiver
         action = cmd.get("action")
         if action == "tune":
-            r.center_freq = float(cmd["freq"])
+            f = float(cmd["freq"])
+            snap = float(cmd.get("snap", 0) or 0)
+            if snap > 0:                 # snap-to-step (ref: snap mode,
+                f = round(f / snap) * snap   # AppFrame frequency snap)
+            r.center_freq = f
+            self._refresh_controls()
+        elif action == "nudge":
+            # Digit-bar stepping (ref: src/visual/TuningCanvas.cpp digit
+            # +/- hover-click; AppFrame arrow hotkeys): move the center or
+            # one demod by +/-delta_hz.
+            delta = float(cmd["delta_hz"])
+            tgt = cmd.get("index")
+            if tgt is None:
+                r.center_freq += delta
+            else:
+                d = self.mgr.get_demodulators()[int(tgt)]
+                d.frequency = max(0.0, d.frequency + delta)
             self._refresh_controls()
         elif action == "theme":
             r.waterfall.set_theme(str(cmd["name"]))

@@ -121,6 +121,25 @@ def test_control_set_and_tune(hx):
     _post(hx.port, "/api/control", {"action": "tune", "freq": 100e6})
 
 
+def test_tune_snap_and_nudge(hx):
+    # Snap-to-step tuning (ref: AppFrame snap) + digit-bar stepping
+    # (ref: src/visual/TuningCanvas.cpp).
+    assert _post(hx.port, "/api/control",
+                 {"action": "tune", "freq": 100.013e6,
+                  "snap": 25e3})["ok"]
+    assert hx.lr.center_freq == 100.025e6
+    assert _post(hx.port, "/api/control",
+                 {"action": "nudge", "index": None,
+                  "delta_hz": -25e3})["ok"]
+    assert hx.lr.center_freq == 100e6
+    f0 = hx.mgr.get_demodulators()[0].frequency
+    assert _post(hx.port, "/api/control",
+                 {"action": "nudge", "index": 0, "delta_hz": 1e3})["ok"]
+    assert hx.mgr.get_demodulators()[0].frequency == f0 + 1e3
+    _post(hx.port, "/api/control",
+          {"action": "nudge", "index": 0, "delta_hz": -1e3})
+
+
 def test_theme(hx):
     assert _post(hx.port, "/api/control",
                  {"action": "theme", "name": "jet"})["ok"]
