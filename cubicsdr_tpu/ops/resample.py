@@ -383,6 +383,85 @@ def planar_resample_matmul(x, rs: RationalResampler):
     return one_plane(x)
 
 
+def planar_shifted_resample_matmul(z, rs: RationalResampler, omega,
+                                   phase_w0):
+    """Fused NCO-shift + rational resample in one batched MXU matmul —
+    the frontend hot path (receiver/frontend.py).
+
+    Mathematically identical to ``resample(nco_mix(z))`` (NCOMixer
+    multiplies by e^{+i(φ0+ωk)}) but the full-rate phasor multiply is
+    FOLDED into the tap matrix:
+
+        y[m] = e^{+i(φ0 + ω n_m)} Σ_i T[i,m] e^{+iω(i - n_m)} x[i]
+
+    i.e. modulate the banded Toeplitz matrix by e^{-iω i} along its sample
+    axis (a rank-1 broadcast — the phase is linear in the sample index, so
+    no per-tap gather), matmul against windows of the RAW stream, and
+    rotate each output tile by its base phase. The [N, W, O] modulated
+    matrix depends only on ω (a control input), so XLA hoists it out of
+    the K-block dispatch scan — per-block cost is just 4 real einsums on
+    raw windows plus an [N, n_tiles] tile phasor, replacing the full-rate
+    [N, L] phasor generation + complex multiply.
+
+    z: PC [..., N, hist+L] RAW (unmixed) stream with rs.hist_len history.
+    omega: [..., N] NCO rate (rad/sample); phase_w0: [..., N] phase of the
+    first window sample w[0] (= block phase0 - ω*(hist_len - start)).
+    Returns PC [..., N, L//Q*P]. None if no tile divides the output.
+    """
+    from cubicsdr_tpu.ops.planar import PC
+    assert isinstance(z, PC)
+    L = z.re.shape[-1] - rs.hist_len
+    n_out = L // rs.Q * rs.P
+    O = _choose_tile(n_out, rs.P)
+    if O is None:
+        return None
+    T_np, S, W = _toeplitz_np(
+        tuple(np.asarray(rs.ker).reshape(-1).tolist()), rs.P, rs.Q, rs.KK, O)
+    T = jnp.asarray(T_np)                        # [W, O]
+    start = rs.hist_len + rs.Q - 1 - (rs.KK - 1)
+    n_rows = n_out // O
+    k_sl = -(-W // S)
+
+    def windows(plane):
+        w = plane[..., start:]
+        pad = (n_rows + k_sl - 1) * S - w.shape[-1]
+        wp = jnp.pad(w, [(0, 0)] * (w.ndim - 1) + [(0, max(pad, 0))])
+        A = wp.reshape(*wp.shape[:-1], n_rows + k_sl - 1, S)
+        return jnp.concatenate(
+            [A[..., i: i + n_rows, :] for i in range(k_sl)],
+            axis=-1)[..., :W]                    # [..., N, n_rows, W]
+
+    fr_re, fr_im = windows(z.re), windows(z.im)
+    omega = jnp.asarray(omega, jnp.float32)
+    phase_w0 = jnp.asarray(phase_w0, jnp.float32)
+    i_idx = jnp.arange(W, dtype=jnp.float32)
+    # e^{+i ω i} along the W axis (wrap for f32 phase accuracy).
+    th = jnp.mod(omega[..., None] * i_idx, TWO_PI)   # [..., N, W]
+    Tm_re = T * jnp.cos(th)[..., :, None]            # [..., N, W, O]
+    Tm_im = T * jnp.sin(th)[..., :, None]
+    y_re = (jnp.einsum("...ri,...io->...ro", fr_re, Tm_re,
+                       preferred_element_type=jnp.float32)
+            - jnp.einsum("...ri,...io->...ro", fr_im, Tm_im,
+                         preferred_element_type=jnp.float32))
+    y_im = (jnp.einsum("...ri,...io->...ro", fr_re, Tm_im,
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("...ri,...io->...ro", fr_im, Tm_re,
+                         preferred_element_type=jnp.float32))
+    # Per-tile base rotation e^{+i(phase_w0 + ω r S)}.
+    r_idx = jnp.arange(n_rows, dtype=jnp.float32)
+    a = jnp.mod(omega * S, TWO_PI)
+    phi = jnp.mod(phase_w0[..., None] + jnp.mod(a[..., None] * r_idx,
+                                                TWO_PI), TWO_PI)
+    c, s = jnp.cos(phi)[..., None], jnp.sin(phi)[..., None]
+    out_re = y_re * c - y_im * s
+    out_im = y_im * c + y_re * s
+    shp = (*out_re.shape[:-2], n_out)
+    return PC(out_re.reshape(shp), out_im.reshape(shp))
+
+
+TWO_PI = 6.283185307179586
+
+
 class PlanarResampler(StreamOp):
     """Stateful multi-stage P/Q resampler on planar-complex (PC) or real
     float32 data; each stage runs in the MXU Toeplitz-matmul form. State is

@@ -10,6 +10,13 @@ Shift frequencies are traced scalars: retuning is a new input value, not a
 recompile. Changing bandwidth/modem rebuilds the kit (the reference posts
 that to a worker thread, ref: DemodulatorPreThread.cpp:105-151; here the
 host rebuilds while the old compiled step keeps running).
+
+TPU hot path (planar): the NCO is FOLDED into the first resampler stage's
+tap matrix (ops/resample.planar_shifted_resample_matmul) —
+``y = e^{-i(φ0+ωn)} Σ h[j]e^{iωj} x[n-j]`` — eliminating the full-rate
+phasor generation + complex multiply that dominated the route stage
+(BENCH.md round-2 ablation). The modulated tap matrix depends only on the
+control input ω, so XLA hoists it out of the per-block dispatch scan.
 """
 
 from __future__ import annotations
@@ -19,8 +26,13 @@ import jax
 import jax.numpy as jnp
 
 from cubicsdr_tpu.ops.nco import NCOMixer
-from cubicsdr_tpu.ops.resample import make_resampler, design_ratio
+from cubicsdr_tpu.ops.planar import PC, PLANAR, xcat, xtail
+from cubicsdr_tpu.ops.resample import (
+    IdentityResampler, RationalResampler, ResamplerChain, design_ratio,
+    make_resampler, planar_shifted_resample_matmul)
 from cubicsdr_tpu.stream.op import StreamOp
+
+TWO_PI = 6.283185307179586
 
 
 class ChannelFrontend(StreamOp):
@@ -37,10 +49,22 @@ class ChannelFrontend(StreamOp):
         self.channel_rate = float(channel_rate)
         self.bandwidth = float(bandwidth)
         bs = (*batch_shape, n_demods)
+        self.bs = bs
         self.nco = NCOMixer(bs)
         P, Q = design_ratio(bandwidth / channel_rate, max_denominator=500)
         self.P, self.Q = P, Q
+        self.dtype = dtype
         self.resampler = make_resampler(P, Q, batch_shape=bs, dtype=dtype)
+        # Folded-NCO fast path applies when planar and the first stage is a
+        # tiled RationalResampler (ops/resample.py); otherwise mix-then-
+        # resample.
+        self._stage1 = (self.resampler.stages[0]
+                        if isinstance(self.resampler, ResamplerChain)
+                        else self.resampler)
+        self._rest = (self.resampler.stages[1:]
+                      if isinstance(self.resampler, ResamplerChain) else [])
+        self.folded = (dtype == PLANAR
+                       and isinstance(self._stage1, RationalResampler))
 
     @property
     def block_multiple(self) -> int:
@@ -50,10 +74,47 @@ class ChannelFrontend(StreamOp):
         return in_len // self.Q * self.P
 
     def init_state(self):
+        if self.folded:
+            return (self.nco.init_state(),          # phase at fresh x[0]
+                    self._stage1.init_state(),      # RAW input tail
+                    tuple(s.init_state() for s in self._rest))
         return (self.nco.init_state(), self.resampler.init_state())
+
+    def _folded_core(self, z, omega, phase0):
+        """Folded mix+resample on a hist-prefixed RAW stream ``z``; phase0
+        is the phase at the first FRESH sample (z[hist_len]). Falls back to
+        classic mix-then-conv when no output tile divides (small test
+        blocks) — identical math, same raw-history state layout."""
+        rs = self._stage1
+        # Phase of window sample w[0]: w = z[start:], z[t] is at global
+        # phase phase0 + omega*(t - hist_len).
+        start_off = rs.Q - rs.KK                   # start - hist_len
+        phase_w0 = jnp.mod(phase0 + omega * start_off, TWO_PI)
+        y = planar_shifted_resample_matmul(z, rs, omega, phase_w0)
+        if y is None:
+            from cubicsdr_tpu.ops.resample import planar_rational_resample
+            k = (jnp.arange(z.shape[-1], dtype=jnp.float32)
+                 - jnp.float32(rs.hist_len))
+            th = jnp.mod(phase0[..., None] + omega[..., None] * k, TWO_PI)
+            c, s = jnp.cos(th), jnp.sin(th)
+            zm = PC(z.re * c - z.im * s, z.im * c + z.re * s)
+            y = planar_rational_resample(zm, rs)
+        return y
 
     def apply(self, state, inputs):
         x, omega = inputs
+        if self.folded:
+            phase0, hist, rest = state
+            omega = jnp.asarray(omega, jnp.float32)
+            z = xcat([hist, x])
+            y = self._folded_core(z, omega, phase0)
+            new_hist = xtail(z, self._stage1.hist_len)
+            new_phase = jnp.mod(phase0 + omega * x.shape[-1], TWO_PI)
+            new_rest = []
+            for s_i, st_i in zip(self._rest, rest):
+                st_i, y = s_i.apply(st_i, y)
+                new_rest.append(st_i)
+            return (new_phase, new_hist, tuple(new_rest)), y
         s_n, s_r = state
         s_n, y = self.nco.apply(s_n, (x, omega))
         s_r, y = self.resampler.apply(s_r, y)
@@ -63,16 +124,42 @@ class ChannelFrontend(StreamOp):
     # collective); the resampler halo-exchanges its input tail. Planar-only
     # (the sharded receiver is the TPU path). ---
     def shard_carries(self):
+        if self.folded:
+            return (self.nco.init_state(),
+                    self._stage1.shard_carry_init(),
+                    tuple(s.shard_carry_init() for s in self._rest))
         return (self.nco.init_state(), self.resampler.shard_carries())
 
     def shard_apply(self, carries, inputs, axis):
+        from cubicsdr_tpu.parallel.halo import streaming_halo
         from cubicsdr_tpu.parallel.shardable import nco_shard_mix
         x, omega = inputs
+        if self.folded:
+            base, c1, c_rest = carries
+            omega = jnp.asarray(omega, jnp.float32)
+            L = x.shape[-1]
+            t = jnp.asarray(jax.lax.axis_index(axis), jnp.float32)
+            n_t = jnp.float32(jax.lax.psum(1, axis))
+            phase0 = jnp.mod(base + omega * (t * L), TWO_PI)
+            rs = self._stage1
+            z, new_c1 = streaming_halo(x, rs.hist_len, c1, axis)
+            y = self._folded_core(z, omega, phase0)
+            new_base = jnp.mod(base + omega * (n_t * L), TWO_PI)
+            new_rest = []
+            for s_i, st_i in zip(self._rest, c_rest):
+                st_i, y = _shard_tail_stage(s_i, st_i, y, axis)
+                new_rest.append(st_i)
+            return (new_base, new_c1, tuple(new_rest)), y
         base, c_r = carries
         base, y = nco_shard_mix(base, jnp.asarray(omega, jnp.float32),
                                 x, axis)
         c_r, y = self.resampler.shard_apply(c_r, y, axis)
         return (base, c_r), y
+
+
+def _shard_tail_stage(op, carry, x, axis):
+    from cubicsdr_tpu.parallel.shardable import shard_stage
+    return shard_stage(op, carry, x, axis)
 
 
 def shift_omegas(demod_freqs, channel_centers, channel_rate):

@@ -58,13 +58,14 @@ def main():
                                                  1)}), flush=True)
 
     # DC blocker cost: stub it to identity.
+    dc0 = rx.dc
+
     class _NoDC:
         def init_state(self):
-            return rx.dc.init_state()
+            return dc0.init_state()
 
         def apply(self, st, x):
             return st, x
-    dc0 = rx.dc
     rx.dc = _NoDC()
     print(json.dumps({"v": "no_dc", "msps": round(timed_full(rx, controls),
                                                   1)}), flush=True)
