@@ -21,13 +21,22 @@ from cubicsdr_tpu.ops.fir import fir_block
 from cubicsdr_tpu.ops.planar import PC, dtype_zeros
 
 
-def affine_scan_1st_order(c, d, y_prev):
+def affine_scan_1st_order(c, d, y_prev, tile: int = 256):
     """Solve y[n] = c*y[n-1] + d[n] (y[-1]=y_prev) in parallel.
 
     d: [..., L]; c scalar. Returns y: [..., L].
-    Composition law for affine maps (a, b): x -> a*x + b.
+
+    Long blocks use the BLOCKED-EXACT form instead of a full-length
+    associative scan (whose log2(L) vector passes round-trip the stream
+    through HBM ~17 times at 128k): within each tile of T samples the
+    zero-state response is ONE [T, T] lower-triangular matmul
+    (A[j, i] = c^(i-j)), the T-step carry propagates with a tiny
+    associative scan over n_tiles values, and the carry folds back in as a
+    rank-1 update. Same math, two passes over the data, MXU does the work.
     """
     L = d.shape[-1]
+    if L >= 2 * tile:
+        return _affine_blocked(float(c), d, y_prev, tile)
     a = jnp.broadcast_to(jnp.asarray(c, d.dtype), d.shape)
 
     def combine(l, r):
@@ -37,6 +46,43 @@ def affine_scan_1st_order(c, d, y_prev):
 
     A, B = jax.lax.associative_scan(combine, (a, d), axis=-1)
     return A * y_prev[..., None] + B
+
+
+def _affine_blocked(a: float, d, y_prev, T: int):
+    L = d.shape[-1]
+    n_tiles = -(-L // T)
+    pad = n_tiles * T - L
+    dp = jnp.pad(d, [(0, 0)] * (d.ndim - 1) + [(0, pad)]) if pad else d
+    dt = dp.reshape(*d.shape[:-1], n_tiles, T)
+    # Zero-state tile response: one lower-triangular Toeplitz matmul.
+    i = np.arange(T)
+    A_np = np.where(i[None, :] >= i[:, None],
+                    np.power(a, (i[None, :] - i[:, None]).astype(np.float64),
+                             where=i[None, :] >= i[:, None]),
+                    0.0).astype(np.float32)
+    A = jnp.asarray(A_np)                             # [T(j), T(i)]
+    acc = (jnp.float32 if not jnp.iscomplexobj(dp) else dp.dtype)
+    y0 = jnp.einsum("...tj,ji->...ti", dt, A.astype(dp.dtype)
+                    if jnp.iscomplexobj(dp) else A,
+                    preferred_element_type=acc)
+    E = y0[..., -1]                                   # [..., n_tiles]
+    # Carry recurrence s_{t+1} = a^T s_t + E_t over n_tiles (tiny scan).
+    aT = jnp.asarray(a, jnp.float32) ** T
+    ab = jnp.broadcast_to(aT, E.shape).astype(E.dtype)
+
+    def combine(l, r):
+        al, bl = l
+        ar, br = r
+        return al * ar, bl * ar + br
+
+    Pa, Pb = jax.lax.associative_scan(combine, (ab, E), axis=-1)
+    s_end = Pa * y_prev[..., None] + Pb               # carry AFTER tile t
+    s_in = jnp.concatenate([y_prev[..., None], s_end[..., :-1]], axis=-1)
+    pw = jnp.asarray(a, jnp.float32) ** jnp.arange(1, T + 1,
+                                                   dtype=jnp.float32)
+    y = y0 + s_in[..., None] * pw
+    y = y.reshape(*d.shape[:-1], n_tiles * T)
+    return y[..., :L] if pad else y
 
 
 def affine_scan_2nd_order(m: np.ndarray, f, s_prev):

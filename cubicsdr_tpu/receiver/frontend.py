@@ -43,9 +43,12 @@ class ChannelFrontend(StreamOp):
     the wanted carrier to DC).
     """
 
+    # Class-level default for the folded-NCO fast path (perf A/B knob).
+    FOLD_NCO = True
+
     def __init__(self, channel_rate: float, bandwidth: float,
                  n_demods: int, batch_shape: tuple = (),
-                 dtype=jnp.complex64):
+                 dtype=jnp.complex64, fold: bool | None = None):
         self.channel_rate = float(channel_rate)
         self.bandwidth = float(bandwidth)
         bs = (*batch_shape, n_demods)
@@ -63,7 +66,9 @@ class ChannelFrontend(StreamOp):
                         else self.resampler)
         self._rest = (self.resampler.stages[1:]
                       if isinstance(self.resampler, ResamplerChain) else [])
-        self.folded = (dtype == PLANAR
+        if fold is None:
+            fold = ChannelFrontend.FOLD_NCO
+        self.folded = (fold and dtype == PLANAR
                        and isinstance(self._stage1, RationalResampler))
 
     @property
