@@ -185,7 +185,9 @@ def cmd_serve(args):
     rx = ReceiverPipeline(rate, specs, chan_mode=args.channelizer,
                           dtype=PLANAR)
     controls = controls_from_manager(mgr, rx, keyed, center)
-    device_info = None
+    from cubicsdr_tpu.io.devices import SDRDeviceInfo
+    device_info = SDRDeviceInfo("synthetic=0", "Synthetic Signal Generator",
+                                "synthetic")
     if args.soapy is not None:
         # Live hardware: "driver=rtlsdr,..." SoapySDR args string.
         from cubicsdr_tpu.io.soapy import SoapySDRSource

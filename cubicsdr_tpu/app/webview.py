@@ -63,12 +63,22 @@ _PAGE = """<!doctype html>
 <div id="hdr"></div>
 <canvas id="spec" width="1024" height="160"></canvas>
 <canvas id="wf" width="1024" height="320"></canvas>
+<canvas id="zoom" width="1024" height="120" style="display:none"></canvas>
 <div>center <input id="freq" size="12"> <button onclick="tune()">tune</button>
+ <button onclick="nudge(-25000)">-25k</button>
+ <button onclick="nudge(25000)">+25k</button>
  <button onclick="addDemod()">add demod @ click</button>
+ <button onclick="zoomAt()">zoom @ click</button>
+ <button onclick="ctl({action:'zoom', offset:null}).then(
+   () => document.getElementById('zoom').style.display = 'none')">unzoom</button>
  theme <select id="theme" onchange="setTheme()"></select>
- <button onclick="listen()">listen</button></div>
+ <button onclick="listen()">listen</button>
+ <button onclick="bookmarkSel()">bookmark</button></div>
 <audio id="aud" controls style="display:none"></audio>
 <div id="demods"></div>
+<div id="gains"></div>
+<div id="bookmarks"></div>
+<pre id="console"></pre>
 <script>
 let st = null, clickFreq = null;
 const wf = document.getElementById('wf'), spec = document.getElementById('spec');
@@ -95,7 +105,25 @@ async function poll() {
       dd.appendChild(e);
     });
     const sp = await (await fetch('/api/spectrum')).json();
-    drawSpec(sp.points);
+    drawSpec(document.getElementById('spec'), sp.points);
+    if (sp.zoom && sp.zoom.points.length) {
+      const z = document.getElementById('zoom');
+      z.style.display = 'block';
+      drawSpec(z, sp.zoom.points, '#fc6');
+    }
+    const g = await (await fetch('/api/gains')).json();
+    document.getElementById('gains').innerHTML = g.stages.map(s =>
+      `${s.name} <input type="range" min="${s.min}" max="${s.max}"` +
+      ` value="${s.value}" onchange="setGain('${s.name}',this.value)">` +
+      ` ${s.value.toFixed(1)} dB`).join(' | ') +
+      (g.stages.length ? ` | AGC <input type="checkbox"` +
+       ` ${g.agc?'checked':''} onchange="setAgc(this.checked)">` : '');
+    const bm = await (await fetch('/api/bookmarks')).json();
+    document.getElementById('bookmarks').innerHTML =
+      Object.entries(bm.groups).map(([grp, es]) =>
+        `<b>${grp}</b>: ` + es.map((e, i) =>
+          `<a href="#" onclick="bmGo('${grp}',${i});return false">` +
+          `${e.demod_type}@${e.frequency}</a>`).join(' ')).join('  ');
     const img = new Image();
     img.onload = () => wf.getContext('2d')
         .drawImage(img, 0, 0, wf.width, wf.height);
@@ -103,16 +131,37 @@ async function poll() {
   } catch (e) {}
   setTimeout(poll, 300);
 }
-function drawSpec(pts) {
-  const c = spec.getContext('2d'); c.clearRect(0,0,spec.width,spec.height);
-  c.strokeStyle = '#6cf'; c.beginPath();
+function drawSpec(cv, pts, color) {
+  const c = cv.getContext('2d'); c.clearRect(0,0,cv.width,cv.height);
+  c.strokeStyle = color || '#6cf'; c.beginPath();
   pts.forEach((p, i) => {
-    const x = i / pts.length * spec.width, y = (1 - p) * spec.height;
+    const x = i / pts.length * cv.width, y = (1 - p) * cv.height;
     i ? c.lineTo(x, y) : c.moveTo(x, y); });
   c.stroke();
 }
 async function ctl(body) {
-  await fetch('/api/control', {method:'POST', body: JSON.stringify(body)});
+  return fetch('/api/control', {method:'POST', body: JSON.stringify(body)});
+}
+function nudge(d) { ctl({action:'nudge', index:null, delta_hz:d}); }
+function zoomAt() {
+  if (clickFreq !== null)
+    ctl({action:'zoom', offset: clickFreq - st.center_freq,
+         bandwidth: st.sample_rate / 8});
+}
+async function setGain(name, v) {
+  await fetch('/api/gains', {method:'POST',
+    body: JSON.stringify({name: name, value: parseFloat(v)})});
+}
+async function setAgc(v) {
+  await fetch('/api/gains', {method:'POST', body: JSON.stringify({agc: v})});
+}
+async function bookmarkSel() {
+  await fetch('/api/bookmarks', {method:'POST',
+    body: JSON.stringify({op:'add', index:0, group:'Ungrouped'})});
+}
+async function bmGo(grp, i) {
+  await fetch('/api/bookmarks', {method:'POST',
+    body: JSON.stringify({op:'activate', group:grp, i:i})});
 }
 function tune() {
   ctl({action:'tune', freq: parseFloat(document.getElementById('freq').value)});
