@@ -181,19 +181,24 @@ def cmd_serve(args):
         center, rate = sess.center_freq, sess.sample_rate
     if not mgr.get_demodulators():
         mgr.new_demodulator(center + 200e3, "FM", 200000)
+    from cubicsdr_tpu.io.devices import SDRDeviceInfo
+    device_info = SDRDeviceInfo("synthetic=0", "Synthetic Signal Generator",
+                                "synthetic")
+    src = None
+    if args.soapy is not None:
+        # Live hardware: "driver=rtlsdr,..." SoapySDR args string. Open the
+        # device FIRST — it may renegotiate the rate (ref: SoapySDRThread
+        # .cpp:499-513) and the pipeline, channel centers and audio
+        # resampling must all be built from the APPLIED rate.
+        from cubicsdr_tpu.io.soapy import SoapySDRSource
+        src = SoapySDRSource(args.soapy, sample_rate=rate, frequency=center)
+        rate = src.sample_rate
     specs, keyed = plan_from_manager(mgr)
     rx = ReceiverPipeline(rate, specs, chan_mode=args.channelizer,
                           dtype=PLANAR)
     controls = controls_from_manager(mgr, rx, keyed, center)
-    from cubicsdr_tpu.io.devices import SDRDeviceInfo
-    device_info = SDRDeviceInfo("synthetic=0", "Synthetic Signal Generator",
-                                "synthetic")
-    if args.soapy is not None:
-        # Live hardware: "driver=rtlsdr,..." SoapySDR args string.
-        from cubicsdr_tpu.io.soapy import SoapySDRSource
-        src = SoapySDRSource(args.soapy, sample_rate=rate,
-                             frequency=center, block_len=rx.block_len)
-        rate = src.sample_rate            # device may renegotiate
+    if src is not None:
+        src.set_block_len(rx.block_len)
     elif args.input:
         src = FileIQSource(args.input, rate, rx.block_len, loop=True)
     else:

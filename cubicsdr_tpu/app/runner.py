@@ -168,6 +168,10 @@ class LiveReceiver:
         if offset is None:
             self.zoom = None
             return
+        if bandwidth and not (float(bandwidth) > 0.0):
+            # Validate BEFORE lazily creating the view so a bad request
+            # can't leave a half-configured zoom active.
+            raise ValueError(f"zoom bandwidth must be > 0, got {bandwidth}")
         if self.zoom is None:
             from cubicsdr_tpu.visual.spectrum import ZoomSpectrumView
             self.zoom = ZoomSpectrumView(

@@ -187,6 +187,70 @@ poll();
 </script></body></html>"""
 
 
+def _carry_streaming_state(old_rx, old_state, old_keyed, new_rx, new_keyed,
+                           new_state):
+    """Port streaming state across a plan rebuild.
+
+    The channelizer/DC state carries verbatim when the wideband config is
+    unchanged. Per-demod group state (frontend filter tails + NCO phase,
+    modem-kit carries, squelch/AGC EMAs) carries ROW-wise: a surviving
+    DemodulatorInstance keeps its row state when its group key
+    (type, bandwidth, settings) — and hence every leaf's per-row shape —
+    is unchanged. New rows keep the cold init value."""
+    import jax
+
+    def tree_shapes_equal(a, b):
+        la, lb = jax.tree.flatten(a), jax.tree.flatten(b)
+        return (la[1] == lb[1] and len(la[0]) == len(lb[0]) and all(
+            getattr(x, "shape", None) == getattr(y, "shape", None)
+            for x, y in zip(la[0], lb[0])))
+
+    if (old_keyed is not None
+            and old_rx.chan_mode == new_rx.chan_mode
+            and old_rx.M == new_rx.M
+            and old_rx.dtype == new_rx.dtype
+            and tree_shapes_equal(old_state["chan"], new_state["chan"])
+            and tree_shapes_equal(old_state["dc"], new_state["dc"])):
+        # Channelizer/DC tails are history-shaped (block-length independent).
+        new_state["chan"] = old_state["chan"]
+        new_state["dc"] = old_state["dc"]
+    if old_keyed is None:
+        return new_state
+
+    old_pos = {}                       # id(instance) -> (key, gi, row)
+    for gi, (key, demods) in enumerate(old_keyed.items()):
+        for ri, d in enumerate(demods):
+            old_pos[id(d)] = (key, gi, ri)
+
+    def port_rows(new_leaf, old_leaf, pairs):
+        if not hasattr(new_leaf, "shape") or new_leaf.ndim == 0:
+            return new_leaf
+        buf = np.array(new_leaf)
+        old = np.asarray(old_leaf)
+        for new_ri, old_ri in pairs:
+            buf[new_ri] = old[old_ri]
+        return buf
+
+    groups = list(new_state["groups"])
+    for gi, (key, demods) in enumerate(new_keyed.items()):
+        pairs = []
+        for ri, d in enumerate(demods):
+            hit = old_pos.get(id(d))
+            if hit is not None and hit[0] == key:
+                pairs.append((ri, hit[2]))
+        if not pairs:
+            continue
+        old_gi = old_pos[id(demods[pairs[0][0]])][1]
+        try:
+            groups[gi] = jax.tree.map(
+                lambda nl, ol: port_rows(nl, ol, pairs),
+                new_state["groups"][gi], old_state["groups"][old_gi])
+        except ValueError:
+            continue                       # structure changed: start cold
+    new_state["groups"] = tuple(groups)
+    return new_state
+
+
 class WebViewer:
     """Serves a LiveReceiver (app/runner.py) plus its DemodulatorMgr."""
 
@@ -651,21 +715,39 @@ class WebViewer:
     def _rebuild_plan(self):
         """Demod add/remove changes group shapes => new compiled plan,
         swapped in between blocks while streaming continues on the old one
-        (the DemodulatorWorkerThread pattern)."""
+        (the DemodulatorWorkerThread pattern). Streaming state of every
+        SURVIVING demod row — filter histories, NCO phase, AGC/squelch
+        EMAs — is carried over by (type, bandwidth, settings, instance)
+        identity so audio stays continuous; only new rows start cold
+        (ref: src/demod/DemodulatorPreThread.cpp:105-151, where retune/
+        rebuild never glitches the other demods)."""
         import jax
         from cubicsdr_tpu.receiver.pipeline import (
             ReceiverPipeline, plan_from_manager, controls_from_manager)
         r = self.receiver
+        old_rx, old_state, old_keyed = r.pipeline, r.state, self.keyed
         specs, keyed = plan_from_manager(self.mgr)
-        pipeline = ReceiverPipeline(r.pipeline.sample_rate, specs,
-                                    chan_mode=r.pipeline.chan_mode,
-                                    num_channels=r.pipeline.M,
-                                    audio_rate=r.pipeline.audio_rate,
-                                    dtype=r.pipeline.dtype)
+        kw = {}
+        if old_rx.block_len_explicit:
+            kw["block_len"] = old_rx.block_len   # externally-pinned size
+        try:
+            pipeline = ReceiverPipeline(
+                old_rx.sample_rate, specs, chan_mode=old_rx.chan_mode,
+                num_channels=old_rx.M, audio_rate=old_rx.audio_rate,
+                dtype=old_rx.dtype, use_pallas=old_rx.use_pallas, **kw)
+        except AssertionError:
+            # The pinned block size doesn't divide the new plan's
+            # multiples; fall back to a derived one.
+            pipeline = ReceiverPipeline(
+                old_rx.sample_rate, specs, chan_mode=old_rx.chan_mode,
+                num_channels=old_rx.M, audio_rate=old_rx.audio_rate,
+                dtype=old_rx.dtype, use_pallas=old_rx.use_pallas)
         controls = controls_from_manager(self.mgr, pipeline, keyed,
                                          r.center_freq)
         step = jax.jit(pipeline.apply)
-        state = pipeline.init_state()
+        state = _carry_streaming_state(old_rx, old_state, old_keyed,
+                                       pipeline, keyed,
+                                       pipeline.init_state())
         r.set_demod_view(None)       # flat indices change with the plan
         self._consoles.clear()
         with self._lock:

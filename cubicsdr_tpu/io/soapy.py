@@ -128,6 +128,16 @@ class SoapySDRSource:
             self._settings[key] = str(value)
             self._changed["settings"] = True
 
+    def set_block_len(self, block_len: int):
+        """Pin the block size (the app sizes it to the compiled pipeline's
+        block_len AFTER rate negotiation — the device's applied rate decides
+        the pipeline, then the pipeline decides the read block)."""
+        with self._lock:
+            self._block_len_req = int(block_len)
+        # Safe pre-start or between reads: the read loop snapshots
+        # num_elems at block start.
+        self.num_elems = int(block_len)
+
     def stop(self):
         self._stopping.set()
 

@@ -90,6 +90,16 @@ def sqam32_constellation() -> np.ndarray:
 
 # ------------------------------------------------------------- kits ----
 
+def _ones_tail(shape, dtype):
+    """1+0j tail in the kit's constructed representation (PC planes for the
+    planar/TPU path, complex64 for CPU-dtype plans) — differential slicers
+    seed the carried previous sample with a unit phasor."""
+    from cubicsdr_tpu.ops.planar import PC, PLANAR
+    if dtype is None or dtype == PLANAR:
+        return PC(jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+    return jnp.ones(shape, jnp.complex64)
+
+
 class ConstellationKit(StreamOp):
     """Per-sample hard-decision slicer + EVM lock, batched.
 
@@ -98,13 +108,14 @@ class ConstellationKit(StreamOp):
     """
 
     def __init__(self, points: np.ndarray, differential: bool = False,
-                 batch_shape: tuple = ()):
+                 batch_shape: tuple = (), dtype=None):
         pts = np.asarray(points, np.complex128)
         self.pts_re = jnp.asarray(pts.real.astype(np.float32))
         self.pts_im = jnp.asarray(pts.imag.astype(np.float32))
         self.pts2 = jnp.asarray((np.abs(pts) ** 2).astype(np.float32))
         self.differential = differential
         self.batch_shape = batch_shape
+        self.dtype = dtype
         # Time-sharding: differential slicing carries the previous sample.
         self.shard_kind = "tail" if differential else "stateless"
 
@@ -116,9 +127,9 @@ class ConstellationKit(StreamOp):
         return (re[..., 0], im[..., 0])
 
     def shard_carry_init(self):
-        from cubicsdr_tpu.ops.planar import PC
-        return PC(jnp.ones((*self.batch_shape, 1), jnp.float32),
-                  jnp.zeros((*self.batch_shape, 1), jnp.float32))
+        # Carry representation follows the constructed dtype: the carried
+        # tail must tree-match the input representation in streaming_halo.
+        return _ones_tail((*self.batch_shape, 1), self.dtype)
 
     def init_state(self):
         # Differential prev-sample carried as real planes: one state layout
@@ -209,13 +220,12 @@ class GMSKKit(StreamOp):
         return (re[..., 0], im[..., 0])
 
     def shard_carry_init(self):
-        from cubicsdr_tpu.ops.planar import PC
-        return PC(jnp.ones((*self.batch_shape, 1), jnp.float32),
-                  jnp.zeros((*self.batch_shape, 1), jnp.float32))
+        return _ones_tail((*self.batch_shape, 1), self.dtype)
 
-    def __init__(self, sps: int, batch_shape: tuple = ()):
+    def __init__(self, sps: int, batch_shape: tuple = (), dtype=None):
         self.sps = int(sps)
         self.batch_shape = batch_shape
+        self.dtype = dtype
 
     def init_state(self):
         return (jnp.ones(self.batch_shape, jnp.float32),
@@ -279,7 +289,8 @@ def _const_modem(name_, points_fn, default_rate=200000, orders=None,
                 pts = points_fn(m)
             else:
                 pts = points_fn()
-            return ConstellationKit(pts, differential, batch_shape)
+            return ConstellationKit(pts, differential, batch_shape,
+                                    dtype=dtype)
 
     _M.__name__ = f"Modem{name_}"
     return register_modem(_M)
@@ -348,7 +359,7 @@ class ModemGMSK(_DigitalModem):
 
     def build_kit(self, sample_rate, audio_rate=48000, batch_shape=(),
                   dtype=None, time_axis=None):
-        return GMSKKit(int(self.settings["sps"]), batch_shape)
+        return GMSKKit(int(self.settings["sps"]), batch_shape, dtype=dtype)
 
 
 def symbols_to_bits(symbols: np.ndarray, bits_per_symbol: int) -> str:

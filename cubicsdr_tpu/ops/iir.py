@@ -35,7 +35,9 @@ def affine_scan_1st_order(c, d, y_prev, tile: int = 256):
     rank-1 update. Same math, two passes over the data, MXU does the work.
     """
     L = d.shape[-1]
-    if L >= 2 * tile:
+    # The blocked form builds its Toeplitz/carry math with a real python
+    # float; complex coefficients take the generic associative scan.
+    if L >= 2 * tile and not np.iscomplexobj(c):
         return _affine_blocked(float(c), d, y_prev, tile)
     a = jnp.broadcast_to(jnp.asarray(c, d.dtype), d.shape)
 

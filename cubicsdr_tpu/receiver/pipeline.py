@@ -84,6 +84,10 @@ class ReceiverPipeline(StreamOp):
         self.chan_mode = chan_mode
         self.groups = list(groups)
         self.dtype = dtype
+        self.use_pallas = bool(use_pallas)
+        # Remember whether the caller pinned block_len (plan rebuilds
+        # forward an explicit choice; a default one is re-derived).
+        self.block_len_explicit = block_len is not None
         if chan_mode == "single":
             self.M = 1
             self.chan_rate = self.sample_rate

@@ -292,6 +292,9 @@ class ZoomSpectrumView:
     def _snap_bw(self, bandwidth: float) -> float:
         """Reference halves the input rate by VZM until <= bandwidth
         (ref :289-291) — view bandwidths are input_rate / 2^k."""
+        if not (float(bandwidth) > 0.0):      # also rejects NaN
+            raise ValueError(
+                f"view bandwidth must be > 0, got {bandwidth}")
         bw = self.input_rate
         while bw / SPECTRUM_VZM >= bandwidth:
             bw /= SPECTRUM_VZM

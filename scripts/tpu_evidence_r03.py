@@ -1,0 +1,166 @@
+"""Round-3 real-chip evidence, phase 1 (at HEAD, pre-perf-work):
+
+1. bench config #4 (16-demod unified pipeline) — continuity check vs r02.
+2. 256-demod north-star config at HEAD (folded-NCO + blocked DC landed
+   AFTER the r02 256-demod measurement; VERDICT r02 weak #1 says the
+   headline is stale) + compiled-module cost analysis.
+3. Sharded n=1-mesh steady-state throughput vs the unsharded pipeline at
+   the SAME config/block (shard_map overhead number, VERDICT r02 item 9),
+   both with K-block scan dispatch.
+
+One process = one chip holder. JSON lines to stdout; run via nohup.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def timed(step, state, iqs, n_samples, n_iters=15, warmup=2):
+    import jax
+    for _ in range(warmup):
+        state, outs = step(state, iqs)
+    jax.block_until_ready(outs)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        state, outs = step(state, iqs)
+    jax.block_until_ready(outs)
+    dt = time.perf_counter() - t0
+    return n_samples * n_iters / dt / 1e6
+
+
+def bench_pipeline(n_demods: int, tag: str, use_pallas=None, K=8):
+    import jax
+    import jax.numpy as jnp
+    from cubicsdr_tpu.ops.planar import PC
+    from bench import build_pipeline
+
+    rx, controls = build_pipeline(n_demods, use_pallas=use_pallas)
+    rng = np.random.default_rng(0)
+    iqs = PC(jnp.asarray(rng.standard_normal((K, rx.block_len))
+                         .astype(np.float32)),
+             jnp.asarray(rng.standard_normal((K, rx.block_len))
+                         .astype(np.float32)))
+
+    def multi_step(state, iqs):
+        def body(s, iq):
+            s, out = rx.apply(s, (iq, controls))
+            level = jnp.concatenate(
+                [g["level"] for g in out["groups"]], axis=-1)
+            return s, (out["mix"], level)
+        return jax.lax.scan(body, state, iqs)
+
+    step = jax.jit(multi_step, donate_argnums=(0,))
+
+    cost = {}
+    try:
+        lowered = jax.jit(multi_step).lower(rx.init_state(), iqs)
+        ca = lowered.compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        n_samp = K * rx.block_len
+        cost = {
+            "flops_per_sample": round(float(ca.get("flops", 0)) / n_samp, 1),
+            "bytes_per_sample": round(
+                float(ca.get("bytes accessed", 0)) / n_samp, 1),
+        }
+    except Exception as e:          # noqa: BLE001 — report, don't die
+        cost = {"cost_analysis_error": repr(e)}
+
+    msps = timed(step, rx.init_state(), iqs, K * rx.block_len)
+    print(json.dumps({"tag": tag, "demods": n_demods,
+                      "msps_per_chip": round(msps, 2),
+                      "block_len": rx.block_len, **cost}), flush=True)
+    return msps
+
+
+def sharded_vs_unsharded(K=8):
+    """n=1 mesh ShardedReceiver vs the plain pipeline at the SAME config,
+    both no-Pallas so the delta is pure shard_map/collective overhead."""
+    import jax
+    import jax.numpy as jnp
+    from cubicsdr_tpu.ops.planar import PC
+    from cubicsdr_tpu.parallel import make_receiver_mesh
+    from cubicsdr_tpu.parallel.sharded import ShardedReceiver
+    from cubicsdr_tpu.receiver import ReceiverPipeline, DemodGroupSpec
+
+    fs = 8_000_000
+    groups = [DemodGroupSpec("FM", 200000, 16)]
+    mesh = make_receiver_mesh(n_time=1, n_chan=1,
+                              devices=jax.devices()[:1])
+    srx = ShardedReceiver(fs, num_channels=16, groups=groups, mesh=mesh)
+    controls = srx.control_template()
+    controls[0]["frequency"][:] = np.asarray(
+        [((i % 16) - 8) * 500e3 + 20e3 for i in range(16)], np.float32)
+
+    rng = np.random.default_rng(0)
+    iq_np = rng.standard_normal((2, K, srx.block_len)).astype(np.float32)
+
+    # --- sharded, K-block scan around the shard_mapped body ---
+    from jax.sharding import PartitionSpec as P
+    body = jax.shard_map(
+        srx._shard_body, mesh=srx.mesh,
+        in_specs=(srx.state_specs(), P("time"), srx._control_specs()),
+        out_specs=(srx.state_specs(), srx._out_specs()),
+        check_vma=False)
+
+    def multi_sharded(state, iqs):
+        def one(s, iq):
+            s, out = body(s, iq, controls)
+            return s, (out["mix"],
+                       jnp.concatenate([g["level"]
+                                        for g in out["groups"]], -1))
+        return jax.lax.scan(one, state, iqs)
+
+    sh = jax.sharding.NamedSharding(srx.mesh, P(None, "time"))
+    iqs_sh = PC(jax.device_put(iq_np[0], sh), jax.device_put(iq_np[1], sh))
+    sstep = jax.jit(multi_sharded, donate_argnums=(0,))
+    msps_sharded = timed(sstep, srx.place_state(srx.init_state()), iqs_sh,
+                         K * srx.block_len)
+    print(json.dumps({"tag": "sharded_n1_steady", "msps_per_chip":
+                      round(msps_sharded, 2), "block_len": srx.block_len}),
+          flush=True)
+
+    # --- unsharded, same block_len, no pallas ---
+    from cubicsdr_tpu.ops.planar import PLANAR
+    rx = ReceiverPipeline(fs, groups, dtype=PLANAR, use_pallas=False,
+                          block_len=srx.block_len)
+    c2 = rx.control_template()
+    c2[0]["frequency"] = controls[0]["frequency"]
+
+    def multi_plain(state, iqs):
+        def one(s, iq):
+            s, out = rx.apply(s, (iq, c2))
+            return s, (out["mix"],
+                       jnp.concatenate([g["level"]
+                                        for g in out["groups"]], -1))
+        return jax.lax.scan(one, state, iqs)
+
+    iqs_p = PC(jnp.asarray(iq_np[0]), jnp.asarray(iq_np[1]))
+    pstep = jax.jit(multi_plain, donate_argnums=(0,))
+    msps_plain = timed(pstep, rx.init_state(), iqs_p, K * rx.block_len)
+    print(json.dumps({
+        "tag": "unsharded_same_config", "msps_per_chip":
+        round(msps_plain, 2),
+        "shard_overhead_pct": round(100 * (1 - msps_sharded /
+                                           max(msps_plain, 1e-9)), 1),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    import jax
+    print(json.dumps({"tag": "env",
+                      "devices": [str(d) for d in jax.devices()]}),
+          flush=True)
+    bench_pipeline(16, "bench_demod16")
+    bench_pipeline(256, "bench_demod256")
+    try:
+        sharded_vs_unsharded()
+    except Exception as e:          # noqa: BLE001
+        print(json.dumps({"tag": "sharded_error", "err": repr(e)}),
+              flush=True)
+    print(json.dumps({"tag": "done"}), flush=True)

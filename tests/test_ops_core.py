@@ -154,3 +154,51 @@ class TestResampler:
     def test_design_ratio_exact(self):
         assert design_ratio(0.5) == (1, 2)
         assert design_ratio(48000 / 200000) == (6, 25)
+
+
+class TestAffineScan:
+    def test_blocked_matches_scan_real(self):
+        from cubicsdr_tpu.ops.iir import affine_scan_1st_order
+        rng = np.random.default_rng(3)
+        d = jnp.asarray(rng.standard_normal((2, 4096)).astype(np.float32))
+        y0 = jnp.asarray(rng.standard_normal(2).astype(np.float32))
+        fast = affine_scan_1st_order(0.97, d, y0)            # blocked path
+        exact = affine_scan_1st_order(0.97, d, y0, tile=1 << 20)  # scan path
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                                   rtol=0, atol=2e-4)
+
+    def test_complex_coefficient_long_block(self):
+        # Regression: long blocks once routed complex c into the
+        # float-only blocked form (TypeError); they must fall through to
+        # the generic associative scan.
+        from cubicsdr_tpu.ops.iir import affine_scan_1st_order
+        rng = np.random.default_rng(4)
+        c = np.complex64(0.95 * np.exp(1j * 0.3))
+        d = jnp.asarray((rng.standard_normal(4096)
+                         + 1j * rng.standard_normal(4096))
+                        .astype(np.complex64))
+        y0 = jnp.zeros((), jnp.complex64)
+        y = affine_scan_1st_order(c, d, y0)
+        ref = np.empty(4096, np.complex64)
+        acc = 0.0 + 0.0j
+        dn = np.asarray(d)
+        for i in range(4096):
+            acc = c * acc + dn[i]
+            ref[i] = acc
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=0, atol=2e-3)
+
+
+class TestDigitalKitCarryDtype:
+    def test_carry_matches_construction_dtype(self):
+        from cubicsdr_tpu.modems.digital import ConstellationKit, GMSKKit
+        from cubicsdr_tpu.modems.digital import psk_constellation
+        from cubicsdr_tpu.ops.planar import PC, PLANAR
+        pts = psk_constellation(4)
+        planar = ConstellationKit(pts, differential=True, batch_shape=(3,),
+                                  dtype=PLANAR).shard_carry_init()
+        assert isinstance(planar, PC) and planar.re.shape == (3, 1)
+        cplx = ConstellationKit(pts, differential=True, batch_shape=(3,),
+                                dtype=jnp.complex64).shard_carry_init()
+        assert jnp.iscomplexobj(cplx) and cplx.shape == (3, 1)
+        g = GMSKKit(4, batch_shape=(2,), dtype=jnp.complex64)
+        assert jnp.iscomplexobj(g.shard_carry_init())
