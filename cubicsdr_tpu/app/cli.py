@@ -237,6 +237,32 @@ def cmd_serve(args):
         print(lr.status())
 
 
+def cmd_multihost(args):
+    """Distributed multi-process receive (SURVEY §2.11 DCN ingest scatter).
+
+    Launcher mode (default): spawn N local CPU worker processes — the
+    loopback stand-in for an N-host DCN job. Worker mode (--worker): join
+    the job as one process; on a real pod run one worker per host with
+    --coordinator pointing at host 0."""
+    from cubicsdr_tpu.parallel import multihost
+    if args.worker:
+        rep = multihost.run_worker(args.coordinator, args.nprocs,
+                                   args.process_id, steps=args.steps,
+                                   verify=not args.no_verify)
+        print(json.dumps(rep))
+        return 0
+    reports = multihost.launch_local(args.nprocs, steps=args.steps,
+                                     devices_per_process=args.devices)
+    for rep in reports:
+        print(json.dumps(rep))
+    ok = all(r["ok"] and r["process_count"] == args.nprocs
+             for r in reports)
+    print(f"multihost: {args.nprocs} processes x "
+          f"{reports[0]['local_devices']} devices, "
+          f"{args.steps} verified steps -> {'OK' if ok else 'FAILED'}")
+    return 0 if ok else 1
+
+
 def cmd_modems(args):
     from cubicsdr_tpu.modems import modem_names, make_modem
     for t in ("analog", "digital"):
@@ -318,6 +344,18 @@ def main(argv=None):
     s.add_argument("--channelizer", default="pfbch2",
                    choices=["pfbch", "pfbch2", "single"])
     s.set_defaults(fn=cmd_serve)
+
+    mh = sub.add_parser("multihost",
+                        help="distributed multi-process receive (DCN)")
+    mh.add_argument("--nprocs", type=int, default=2)
+    mh.add_argument("--steps", type=int, default=2)
+    mh.add_argument("--devices", type=int, default=4,
+                    help="CPU devices per process (launcher mode)")
+    mh.add_argument("--worker", action="store_true")
+    mh.add_argument("--coordinator", default="localhost:9876")
+    mh.add_argument("--process-id", type=int, default=0)
+    mh.add_argument("--no-verify", action="store_true")
+    mh.set_defaults(fn=cmd_multihost)
 
     m = sub.add_parser("modems", help="list modem types")
     m.set_defaults(fn=cmd_modems)

@@ -78,7 +78,7 @@ def bench_pipeline(n_demods: int, tag: str, use_pallas=None, K=8):
     return msps
 
 
-def sharded_vs_unsharded(K=8):
+def sharded_vs_unsharded(K=8, block_len=None):
     """n=1 mesh ShardedReceiver vs the plain pipeline at the SAME config,
     both no-Pallas so the delta is pure shard_map/collective overhead."""
     import jax
@@ -92,7 +92,8 @@ def sharded_vs_unsharded(K=8):
     groups = [DemodGroupSpec("FM", 200000, 16)]
     mesh = make_receiver_mesh(n_time=1, n_chan=1,
                               devices=jax.devices()[:1])
-    srx = ShardedReceiver(fs, num_channels=16, groups=groups, mesh=mesh)
+    srx = ShardedReceiver(fs, num_channels=16, groups=groups, mesh=mesh,
+                          block_len=block_len)
     controls = srx.control_template()
     controls[0]["frequency"][:] = np.asarray(
         [((i % 16) - 8) * 500e3 + 20e3 for i in range(16)], np.float32)
@@ -152,15 +153,23 @@ def sharded_vs_unsharded(K=8):
 
 
 if __name__ == "__main__":
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=["all", "bench", "sharded"],
+                    default="all")
+    ap.add_argument("--sharded-block", type=int, default=None)
+    args = ap.parse_args()
     import jax
     print(json.dumps({"tag": "env",
                       "devices": [str(d) for d in jax.devices()]}),
           flush=True)
-    bench_pipeline(16, "bench_demod16")
-    bench_pipeline(256, "bench_demod256")
-    try:
-        sharded_vs_unsharded()
-    except Exception as e:          # noqa: BLE001
-        print(json.dumps({"tag": "sharded_error", "err": repr(e)}),
-              flush=True)
+    if args.only in ("all", "bench"):
+        bench_pipeline(16, "bench_demod16")
+        bench_pipeline(256, "bench_demod256")
+    if args.only in ("all", "sharded"):
+        try:
+            sharded_vs_unsharded(block_len=args.sharded_block)
+        except Exception as e:          # noqa: BLE001
+            print(json.dumps({"tag": "sharded_error", "err": repr(e)}),
+                  flush=True)
     print(json.dumps({"tag": "done"}), flush=True)
