@@ -178,8 +178,14 @@ class LiveReceiver:
                 self.pipeline.sample_rate, self.pipeline.block_len,
                 fft_size=self.spec.fft_size,
                 dtype=PLANAR if self.planar else self._jnp.complex64)
+        prev_bw = self.zoom.resample_bw
         self.zoom.set_view(float(offset),
                            float(bandwidth) or self.zoom.view_bandwidth)
+        if self.zoom.resample_bw != prev_bw:
+            # Background-compile the one-step-away zoom levels so the next
+            # wheel click reuses a warm program (minutes per cold compile
+            # on the tunneled chip).
+            self.zoom.prewarm_adjacent()
 
     def set_demod_view(self, idx: Optional[int]):
         """Select which demod's IQ tap feeds the demod-view spectrum

@@ -287,6 +287,16 @@ class ZoomSpectrumView:
         self.view_offset = 0.0
         self.view_bandwidth = float(input_rate)
         self.st_core = self.core.init_state()
+        # Compiled-view cache: one (nco, res, dist, jitted step) per
+        # (P, Q, chunk). Repeated zoom levels reuse their program — on the
+        # real chip a view compile costs minutes (remote-compile tunnel),
+        # so zoom in/out must never re-jit a shape it has seen
+        # (ref: SpectrumVisualProcessor.cpp:283-386, where the view rebuild
+        # is cheap and we must match that).
+        import threading
+        self._front_cache: dict = {}
+        self._front_lock = threading.Lock()
+        self.front_cache_hits = 0
         self._build_front()
 
     def _snap_bw(self, bandwidth: float) -> float:
@@ -300,35 +310,81 @@ class ZoomSpectrumView:
             bw /= SPECTRUM_VZM
         return bw
 
-    def _build_front(self):
+    def _make_front(self, resample_bw: float):
+        """Front-end program for one snapped view bandwidth, cached per
+        (P, Q, chunk) so a revisited zoom level reuses its jitted step."""
         import jax
         from cubicsdr_tpu.ops.resample import design_ratio, make_resampler
         from cubicsdr_tpu.visual.distributor import FFTDataDistributor
-        self.resample_bw = self._snap_bw(self.view_bandwidth)
-        P, Q = design_ratio(self.resample_bw / self.input_rate,
+        P, Q = design_ratio(resample_bw / self.input_rate,
                             max_denominator=1 << 16)
-        self.res = make_resampler(P, Q, dtype=self.dtype)
-        self.chunk = Q * max(1, round(self.block_len / Q))
-        out_len = self.res.out_len(self.chunk)
-        self.dist = FFTDataDistributor(self.n, self.resample_bw,
-                                       lines_per_second=self.lps,
-                                       block_len=out_len, dtype=self.dtype)
-        self.nco = NCOMixer()
+        chunk = Q * max(1, round(self.block_len / Q))
+        key = (P, Q, chunk)
+        with self._front_lock:
+            ent = self._front_cache.get(key)
+            if ent is not None:
+                self.front_cache_hits += 1
+                return ent
+        nco = NCOMixer()
+        res = make_resampler(P, Q, dtype=self.dtype)
+        dist = FFTDataDistributor(self.n, resample_bw,
+                                  lines_per_second=self.lps,
+                                  block_len=res.out_len(chunk),
+                                  dtype=self.dtype)
+        core = self.core
+
+        def _step(st_front, st_core, x, omega):
+            s_n, s_r, s_d = st_front
+            s_n, y = nco.apply(s_n, (x, omega))
+            s_r, y = res.apply(s_r, y)
+            s_d, (frames, valid) = dist.apply(s_d, y)
+            st_core, disp = core.apply(st_core, frames, valid=valid)
+            return ((s_n, s_r, s_d), st_core, disp["spectrum_points"],
+                    jnp.sum(valid.astype(jnp.int32)))
+
+        ent = (nco, res, dist, chunk, jax.jit(_step))
+        with self._front_lock:
+            ent = self._front_cache.setdefault(key, ent)
+        return ent
+
+    def _build_front(self):
+        self.resample_bw = self._snap_bw(self.view_bandwidth)
+        (self.nco, self.res, self.dist, self.chunk,
+         self._step) = self._make_front(self.resample_bw)
         self._st_front = (self.nco.init_state(), self.res.init_state(),
                           self.dist.init_state())
         self._buf = np.zeros((2, 0), np.float32)
         self.points: np.ndarray | None = None
 
-        def _step(st_front, st_core, x, omega):
-            s_n, s_r, s_d = st_front
-            s_n, y = self.nco.apply(s_n, (x, omega))
-            s_r, y = self.res.apply(s_r, y)
-            s_d, (frames, valid) = self.dist.apply(s_d, y)
-            st_core, disp = self.core.apply(st_core, frames, valid=valid)
-            return ((s_n, s_r, s_d), st_core, disp["spectrum_points"],
-                    jnp.sum(valid.astype(jnp.int32)))
+    def prewarm_adjacent(self, background: bool = True):
+        """Pre-compile the +-1 zoom-step view programs (the zoom levels one
+        wheel-click away) so the first real zoom never stalls the stream —
+        on the tunneled chip a cold view compile costs minutes."""
+        import threading
+        import jax
+        targets = [bw for bw in (self.resample_bw / SPECTRUM_VZM,
+                                 self.resample_bw * SPECTRUM_VZM)
+                   if self.input_rate / (1 << 14) <= bw <= self.input_rate]
 
-        self._step = jax.jit(_step)
+        def work():
+            from cubicsdr_tpu.ops.planar import PC
+            for bw in targets:
+                try:
+                    nco, res, dist, chunk, step = self._make_front(bw)
+                    z = np.zeros(chunk, np.float32)
+                    x = (PC(jnp.asarray(z), jnp.asarray(z)) if self.planar
+                         else jnp.asarray(z.astype(np.complex64)))
+                    out = step((nco.init_state(), res.init_state(),
+                                dist.init_state()),
+                               self.core.init_state(), x, jnp.float32(0.0))
+                    jax.block_until_ready(out)
+                except Exception:       # noqa: BLE001 — warm-up is advisory
+                    pass
+
+        if background:
+            threading.Thread(target=work, daemon=True).start()
+        else:
+            work()
 
     # ---- view control (host events, continuity-preserving) --------------
     def set_view(self, offset: float, bandwidth: float):

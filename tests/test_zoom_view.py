@@ -140,3 +140,37 @@ def test_runner_zoom_wiring():
     assert pts.shape == (256,) and np.isfinite(pts).all()
     # The FM station sits at the view center -> peak near the middle.
     assert abs(int(np.argmax(pts)) - 128) < 24
+
+
+def test_zoom_program_cache_reuse():
+    """Zooming in then back out must reuse the cached jitted program for
+    each revisited (P, Q, chunk) — on the real chip a view compile costs
+    minutes, so repeated zoom levels can never re-jit."""
+    fs, L = 1_000_000, 20000
+    v = ZoomSpectrumView(fs, L, fft_size=128, dtype=PLANAR)
+    step_full = v._step
+    v.set_view(0.0, fs / 2)          # zoom in one step
+    step_half = v._step
+    assert step_half is not step_full
+    v.set_view(0.0, fs)              # back out: must be a cache hit
+    assert v._step is step_full
+    v.set_view(0.0, fs / 2)          # in again: cache hit too
+    assert v._step is step_half
+    assert v.front_cache_hits >= 2
+    # The cached program still runs after reuse.
+    rng = np.random.default_rng(0)
+    planes = rng.standard_normal((2, L)).astype(np.float32)
+    for _ in range(3):
+        v.feed(planes)
+    assert v.points is not None
+
+
+def test_prewarm_adjacent_populates_cache():
+    fs, L = 1_000_000, 20000
+    v = ZoomSpectrumView(fs, L, fft_size=128, dtype=PLANAR)
+    assert len(v._front_cache) == 1
+    v.prewarm_adjacent(background=False)
+    # Full-band view has one neighbor below (fs/2); nothing above.
+    assert len(v._front_cache) == 2
+    v.set_view(0.0, fs / 2)          # pre-warmed: no new compile object
+    assert v.front_cache_hits >= 1
