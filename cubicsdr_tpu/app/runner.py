@@ -55,6 +55,7 @@ class LiveReceiver:
         self.step = jax.jit(pipeline.apply)
         self.state = pipeline.init_state()
         self.metrics = Metrics()
+        self._ring_seconds = float(ring_seconds)
         cap = int(pipeline.sample_rate * ring_seconds)
         self.ring = SampleRing(max(cap, 4 * pipeline.block_len))
         self.record_path = record_path
@@ -105,14 +106,15 @@ class LiveReceiver:
 
         self._stop = threading.Event()
         self._producer: Optional[threading.Thread] = None
+        self._producer_gen = 0               # bumped to retire a producer
         self.source_error: Optional[Exception] = None
 
     # --- producer: source -> ring (the SDRThread readLoop analog) ---
-    def _produce(self):
+    def _produce(self, source, gen: int):
         from cubicsdr_tpu.io.soapy import DeviceLostError
         try:
-            for blk in self.source:
-                if self._stop.is_set():
+            for blk in source:
+                if self._stop.is_set() or gen != self._producer_gen:
                     break
                 blk = np.asarray(blk)
                 if blk.ndim == 2 and blk.shape[0] == 2:
@@ -129,8 +131,78 @@ class LiveReceiver:
             self.source_error = e
 
     def start_producer(self):
-        self._producer = threading.Thread(target=self._produce, daemon=True)
+        self._producer = threading.Thread(
+            target=self._produce, args=(self.source, self._producer_gen),
+            daemon=True)
         self._producer.start()
+
+    def stop_producer(self, timeout: float = 2.0):
+        """Retire the current producer thread without stopping the app."""
+        self._producer_gen += 1
+        if hasattr(self.source, "stop"):
+            try:
+                self.source.stop()           # unblock a waiting read
+            except Exception:                # noqa: BLE001
+                pass
+        if self._producer is not None:
+            self._producer.join(timeout=timeout)
+            self._producer = None
+
+    def set_source(self, source, close_old: bool = True):
+        """Swap the live source between blocks (the reference's
+        CubicSDR::setDevice device swap, ref: src/CubicSDR.cpp:797-855):
+        retire the old read thread, optionally close the old device, point
+        at the new source and start reading."""
+        was_running = self._producer is not None
+        self.stop_producer()
+        old = self.source
+        if close_old and old is not None and old is not source:
+            for m in ("close",):
+                try:
+                    getattr(old, m, lambda: None)()
+                except Exception:            # noqa: BLE001
+                    pass
+        self.source = source
+        self.source_error = None
+        if was_running:
+            self.start_producer()
+
+    def swap_pipeline(self, pipeline, controls, state=None):
+        """Install a new compiled plan. When the wideband format changed
+        (sample rate / block size / audio rate) the ring and visual chain
+        are rebuilt too; otherwise display continuity is preserved."""
+        import jax
+        jnp = self._jnp
+        format_changed = (
+            pipeline.sample_rate != self.pipeline.sample_rate
+            or pipeline.block_len != self.pipeline.block_len
+            or pipeline.audio_rate != self.pipeline.audio_rate)
+        self.pipeline = pipeline
+        self.controls = controls
+        self.step = jax.jit(pipeline.apply)
+        self.state = state if state is not None else pipeline.init_state()
+        self.planar = getattr(pipeline, "dtype", None) == PLANAR
+        if not format_changed:
+            return
+        cap = int(pipeline.sample_rate * self._ring_seconds)
+        self.ring = SampleRing(max(cap, 4 * pipeline.block_len))
+        dt = PLANAR if self.planar else jnp.complex64
+        self.dist = FFTDataDistributor(
+            self.spec.fft_size * 2, pipeline.sample_rate,
+            lines_per_second=self.dist.lps, block_len=pipeline.block_len,
+            dtype=dt)
+        self._st_dist = self.dist.init_state()
+        self._st_spec = self.spec.init_state()
+
+        def _visual_step(st_dist, st_spec, x):
+            st_dist, (frames, valid) = self.dist.apply(st_dist, x)
+            st_spec, disp = self.spec.apply(st_spec, frames, valid=valid)
+            return (st_dist, st_spec, disp["spectrum_points"],
+                    jnp.sum(valid.astype(jnp.int32)))
+
+        self._visual = jax.jit(_visual_step)
+        self.zoom = None                     # view rates changed
+        self.set_demod_view(None)
 
     # --- consumer: ring -> compiled step -> sinks ---
     def run_blocks(self, max_blocks: Optional[int] = None,

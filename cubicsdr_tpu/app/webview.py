@@ -265,9 +265,14 @@ class WebViewer:
         self.keyed = keyed
         self.bookmarks = bookmarks if bookmarks is not None else BookmarkMgr()
         self.config = config if config is not None else AppConfig()
+        from cubicsdr_tpu.io.devices import SDREnumerator
         self.device_info = device_info    # SDRDeviceInfo of the live source
         self.source = source              # live source (gain passthrough)
-        self.enumerator = enumerator
+        # App-OWNED enumerator: remote/manual registrations must persist
+        # across requests (ref: SDREnumerator static remotes/manuals).
+        self.enumerator = enumerator if enumerator is not None \
+            else SDREnumerator()
+        self.soapy_module = None          # injectable driver (tests: mock)
         self.host, self.port = host, port
         self._lock = threading.Lock()
         self._levels: dict[int, float] = {}
@@ -590,11 +595,130 @@ class WebViewer:
     # ---- device picker (ref: src/forms/SDRDevices/SDRDevices.cpp) -------
     def devices_json(self) -> dict:
         from dataclasses import asdict
-        from cubicsdr_tpu.io.devices import SDREnumerator
-        en = self.enumerator or SDREnumerator()
         cur = self.device_info.device_id if self.device_info else None
+        devs = []
+        for d in self.enumerator.enumerate_devices():
+            e = asdict(d)
+            dc = self.config.devices.get(d.device_id)
+            if dc is not None:             # persisted per-device settings
+                e["config"] = {
+                    "ppm": dc.ppm, "agc": dc.agc_mode,
+                    "sample_rate": dc.sample_rate, "gains": dict(dc.gains),
+                    "settings": dict(dc.settings),
+                    "stream_opts": dict(dc.stream_opts)}
+            devs.append(e)
         return {"current": cur,
-                "devices": [asdict(d) for d in en.enumerate_devices()]}
+                "running": self.receiver._producer is not None,
+                "devices": devs,
+                "remotes": list(self.enumerator.remotes),
+                "manuals": list(self.enumerator.manuals)}
+
+    def _build_soapy_source(self, info, dc, rate, cmd):
+        """Open a SoapySDR device with the persisted DeviceConfig reapplied
+        (ppm/gains/AGC/settings + IQ swap; ref: src/CubicSDR.cpp:814-841
+        setDevice settings reapply, src/sdr/SoapySDRThread.cpp:305-343)."""
+        from cubicsdr_tpu.io.soapy import SoapySDRSource
+        dev_id = info.device_id
+        args = cmd.get("args")
+        if args is None:
+            if dev_id.startswith("remote="):
+                args = f"driver=remote,remote={dev_id.split('=', 1)[1]}"
+            elif dev_id.startswith("manual="):
+                hit = [m for m in self.enumerator.manuals
+                       if m.get("driver", "?") == dev_id.split("=", 1)[1]]
+                args = (hit[0].get("args", f"driver={hit[0]['driver']}")
+                        if hit else dev_id.replace("manual=", "driver="))
+            else:
+                args = dev_id
+        stream_args = dict(dc.stream_opts)
+        stream_args.update(cmd.get("stream_args") or {})
+        src = SoapySDRSource(
+            args, sample_rate=rate, frequency=self.receiver.center_freq,
+            stream_args=stream_args or None, ppm=dc.ppm, agc=dc.agc_mode,
+            iq_swap=bool(cmd.get("iq_swap", dc.settings.get("iq_swap",
+                                                            False))),
+            module=self.soapy_module)
+        for name, v in dc.gains.items():
+            src.set_gain(name, v)
+        for k, v in dc.settings.items():
+            if k != "iq_swap":
+                src.write_setting(k, v)
+        if stream_args:
+            dc.stream_opts = dict(stream_args)
+        return src
+
+    def device_cmd(self, cmd: dict) -> dict:
+        """POST /api/devices — runtime device control (the SDRDevices
+        dialog's verbs: pick/start a device, keep remotes and manual
+        definitions, ref: src/forms/SDRDevices/SDRDevices.cpp:1-628,
+        src/CubicSDR.cpp:614-622 remote add/remove, :797-855 setDevice)."""
+        from cubicsdr_tpu.io.sources import (FileIQSource, SyntheticSource,
+                                             Station)
+        r = self.receiver
+        op = cmd.get("op", "select")
+        if op == "add_remote":
+            self.enumerator.add_remote(str(cmd["address"]))
+            return {"ok": True, "remotes": list(self.enumerator.remotes)}
+        if op == "remove_remote":
+            self.enumerator.remove_remote(str(cmd["address"]))
+            return {"ok": True, "remotes": list(self.enumerator.remotes)}
+        if op == "set_manuals":
+            self.enumerator.set_manuals(list(cmd["manuals"]))
+            return {"ok": True, "manuals": list(self.enumerator.manuals)}
+        if op == "stop":
+            r.stop_producer()
+            return {"ok": True, "running": False}
+        if op == "start":
+            if r._producer is None:
+                r.start_producer()
+            return {"ok": True, "running": True}
+        if op != "select":
+            return {"ok": False, "error": f"unknown device op {op}"}
+
+        dev_id = str(cmd["device_id"])
+        info = next((d for d in self.enumerator.enumerate_devices()
+                     if d.device_id == dev_id), None)
+        if info is None and dev_id.startswith(("file=", "net=")):
+            from cubicsdr_tpu.io.devices import SDRDeviceInfo
+            kind = dev_id.split("=", 1)[0]
+            info = SDRDeviceInfo(dev_id, dev_id, kind)
+        if info is None:
+            return {"ok": False, "error": f"no such device {dev_id}"}
+        dc = self.config.get_device(dev_id)
+        rate = float(cmd.get("rate") or dc.sample_rate
+                     or r.pipeline.sample_rate)
+        if info.driver not in ("synthetic", "file", "net"):
+            rate = float(info.get_rate_near(rate))
+
+        src = None
+        if info.driver in ("soapy", "remote", "manual") \
+                or dev_id.startswith(("soapy=", "remote=", "manual=")):
+            # Hardware first: the APPLIED rate decides the pipeline.
+            src = self._build_soapy_source(info, dc, rate, cmd)
+            rate = float(src.sample_rate)
+
+        if rate != r.pipeline.sample_rate:
+            self._rebuild_plan(sample_rate=rate)
+        if src is not None:
+            src.set_block_len(r.pipeline.block_len)
+        elif info.driver == "file":
+            src = FileIQSource(dev_id.split("=", 1)[1], rate,
+                               r.pipeline.block_len, loop=True)
+        elif info.driver == "net":
+            from cubicsdr_tpu.io.net import SocketIQSource
+            host, port = dev_id.split("=", 1)[1].rsplit(":", 1)
+            src = SocketIQSource(host, int(port))
+        else:                                    # synthetic
+            src = SyntheticSource(
+                rate, r.pipeline.block_len,
+                [Station(200e3, "fm", audio_freq=1000.0),
+                 Station(-300e3, "am", audio_freq=600.0)])
+        r.set_source(src)
+        self.source = src
+        self.device_info = info
+        dc.sample_rate = int(rate)               # persisted DeviceConfig
+        return {"ok": True, "device": dev_id, "rate": rate,
+                "block_len": r.pipeline.block_len}
 
     # ---- control ---------------------------------------------------------
     def control(self, cmd: dict) -> dict:
@@ -712,7 +836,7 @@ class WebViewer:
         self.receiver.controls = controls_from_manager(
             self.mgr, r.pipeline, self.keyed, r.center_freq)
 
-    def _rebuild_plan(self):
+    def _rebuild_plan(self, sample_rate=None):
         """Demod add/remove changes group shapes => new compiled plan,
         swapped in between blocks while streaming continues on the old one
         (the DemodulatorWorkerThread pattern). Streaming state of every
@@ -721,39 +845,41 @@ class WebViewer:
         identity so audio stays continuous; only new rows start cold
         (ref: src/demod/DemodulatorPreThread.cpp:105-151, where retune/
         rebuild never glitches the other demods)."""
-        import jax
         from cubicsdr_tpu.receiver.pipeline import (
             ReceiverPipeline, plan_from_manager, controls_from_manager)
         r = self.receiver
         old_rx, old_state, old_keyed = r.pipeline, r.state, self.keyed
+        rate_changed = (sample_rate is not None
+                        and float(sample_rate) != old_rx.sample_rate)
+        rate = float(sample_rate) if rate_changed else old_rx.sample_rate
         specs, keyed = plan_from_manager(self.mgr)
-        kw = {}
-        if old_rx.block_len_explicit:
-            kw["block_len"] = old_rx.block_len   # externally-pinned size
+        base = dict(chan_mode=old_rx.chan_mode, audio_rate=old_rx.audio_rate,
+                    dtype=old_rx.dtype, use_pallas=old_rx.use_pallas)
+        if not rate_changed:
+            # Keep the wideband format; a rate change re-derives the
+            # channel count (numChannels = ceil(rate/500k), ref:
+            # SoapySDRThread.cpp:676-693) and the block size.
+            base["num_channels"] = old_rx.M
+            if old_rx.block_len_explicit:
+                base["block_len"] = old_rx.block_len
         try:
-            pipeline = ReceiverPipeline(
-                old_rx.sample_rate, specs, chan_mode=old_rx.chan_mode,
-                num_channels=old_rx.M, audio_rate=old_rx.audio_rate,
-                dtype=old_rx.dtype, use_pallas=old_rx.use_pallas, **kw)
+            pipeline = ReceiverPipeline(rate, specs, **base)
         except AssertionError:
             # The pinned block size doesn't divide the new plan's
             # multiples; fall back to a derived one.
-            pipeline = ReceiverPipeline(
-                old_rx.sample_rate, specs, chan_mode=old_rx.chan_mode,
-                num_channels=old_rx.M, audio_rate=old_rx.audio_rate,
-                dtype=old_rx.dtype, use_pallas=old_rx.use_pallas)
+            base.pop("block_len", None)
+            pipeline = ReceiverPipeline(rate, specs, **base)
         controls = controls_from_manager(self.mgr, pipeline, keyed,
                                          r.center_freq)
-        step = jax.jit(pipeline.apply)
-        state = _carry_streaming_state(old_rx, old_state, old_keyed,
-                                       pipeline, keyed,
-                                       pipeline.init_state())
+        state = pipeline.init_state()
+        if not rate_changed:
+            state = _carry_streaming_state(old_rx, old_state, old_keyed,
+                                           pipeline, keyed, state)
         r.set_demod_view(None)       # flat indices change with the plan
         self._consoles.clear()
         with self._lock:
             self.keyed = keyed
-            r.pipeline, r.controls, r.step, r.state = (
-                pipeline, controls, step, state)
+            r.swap_pipeline(pipeline, controls, state)
 
     # ---- server ----------------------------------------------------------
     def _handler_class(self):
@@ -843,6 +969,10 @@ class WebViewer:
                     elif path == "/api/rig":
                         self._send(200,
                                    json.dumps(viewer.rig_cmd(cmd)).encode())
+                    elif path == "/api/devices":
+                        self._send(200,
+                                   json.dumps(viewer.device_cmd(cmd))
+                                   .encode())
                     elif path == "/api/session":
                         self._send(200,
                                    json.dumps(viewer.session_io(cmd))

@@ -61,7 +61,7 @@ class SoapySDRSource:
                  block_len: Optional[int] = None,
                  stream_args: Optional[dict] = None,
                  ppm: float = 0.0, agc: bool = True,
-                 module=None):
+                 iq_swap: bool = False, module=None):
         if module is None:
             try:
                 import SoapySDR as module  # type: ignore
@@ -95,6 +95,11 @@ class SoapySDRSource:
         self.mtu_elems = 0
         self._overflow = np.zeros((2, 0), np.float32)
         self.sample_rate = float(sample_rate)    # device-applied rate
+        self.iq_swap = bool(iq_swap)    # ref: SoapySDRThread.cpp:305-343
+        # Observability counters surfaced into the app metrics
+        # (ref: saturation/drop warnings, SoapySDRThread.cpp:384-399).
+        self.overflow_events = 0        # device reported sample loss
+        self.short_blocks = 0           # partial final reads (dropped)
         self._apply_settings(first=True)
 
     # ---- staged control (any thread) -------------------------------------
@@ -206,6 +211,7 @@ class SoapySDRSource:
             if n == SOAPY_SDR_TIMEOUT:
                 continue
             if n == SOAPY_SDR_OVERFLOW:
+                self.overflow_events += 1
                 continue                          # samples dropped; keep on
             if n < 0:
                 raise DeviceLostError(f"readStream error {n}")
@@ -219,6 +225,8 @@ class SoapySDRSource:
             n_read += take
         if n_read < n_elems:
             out = out[:, :n_read]
+        if self.iq_swap:                          # (re, im) -> (im, re)
+            out = out[::-1]
         return out
 
     def __iter__(self):
@@ -226,6 +234,12 @@ class SoapySDRSource:
             blk = self._read_block()
             if blk.shape[-1] == 0:
                 continue
+            if blk.shape[-1] < self.num_elems and self._stopping.is_set():
+                # stop() interrupted the assembly: DROP the truncated tail
+                # rather than leak a short final block downstream
+                # (ref: SoapySDRThread.cpp:384-399 shed-on-stop policy).
+                self.short_blocks += 1
+                break
             yield blk
 
     def close(self):

@@ -421,3 +421,92 @@ def test_plan_rebuild_preserves_streaming_state():
         st_cold, (PC(jnp.asarray(blocks[3].real),
                      jnp.asarray(blocks[3].imag)), ctl_a))
     assert not np.allclose(fm_audio(out_cold), ref[3], atol=5e-4)
+
+
+def test_device_remote_manual_registration_persists(hx):
+    # Registrations live on the app-owned enumerator, not a throwaway
+    # (ref: CubicSDR.cpp:614-622 remote add/remove persistence).
+    assert _post(hx.port, "/api/devices",
+                 {"op": "add_remote", "address": "radio.local:55132"})["ok"]
+    assert _post(hx.port, "/api/devices",
+                 {"op": "set_manuals",
+                  "manuals": [{"driver": "rtltcp", "label": "Manual TCP"}]}
+                 )["ok"]
+    d = json.loads(_get(hx.port, "/api/devices"))
+    ids = [e["device_id"] for e in d["devices"]]
+    assert "remote=radio.local:55132" in ids
+    assert "manual=rtltcp" in ids
+    assert d["remotes"] == ["radio.local:55132"]
+    assert _post(hx.port, "/api/devices",
+                 {"op": "remove_remote", "address": "radio.local:55132"}
+                 )["ok"]
+    d = json.loads(_get(hx.port, "/api/devices"))
+    assert d["remotes"] == []
+
+
+def test_device_stop_start(hx):
+    assert _post(hx.port, "/api/devices", {"op": "stop"})["ok"]
+    assert not json.loads(_get(hx.port, "/api/devices"))["running"]
+    assert _post(hx.port, "/api/devices", {"op": "start"})["ok"]
+    assert json.loads(_get(hx.port, "/api/devices"))["running"]
+
+
+def test_device_select_soapy_and_back_mid_session(hx):
+    """Runtime device switching (ref: SDRDevices dialog -> CubicSDR::
+    setDevice, src/CubicSDR.cpp:797-855): swap synthetic -> mock SoapySDR
+    hardware at a DIFFERENT sample rate without restarting the server;
+    persisted DeviceConfig (ppm/gains/AGC/settings) reapplies on open."""
+    from tests.test_soapy import _MockModule
+    hx.viewer.soapy_module = _MockModule
+
+    # Pre-seed the persisted per-device settings (the reference reapplies
+    # these on device start, src/CubicSDR.cpp:814-841).
+    dc = hx.viewer.config.get_device("manual=mock")
+    dc.ppm = 5
+    dc.agc_mode = False
+    dc.gains["TUNER"] = 21.5
+    dc.settings["biastee"] = "true"
+
+    # The enumerator won't list soapy devices (module not installed), so
+    # register it as a manual device string the picker can start.
+    assert _post(hx.port, "/api/devices",
+                 {"op": "set_manuals",
+                  "manuals": [{"driver": "mock", "label": "Mock SDR",
+                               "args": "soapy=0"}]})["ok"]
+    # Select with an explicit different rate: the plan must rebuild at the
+    # device-applied rate, mid-session.
+    r = _post(hx.port, "/api/devices",
+              {"op": "select", "device_id": "manual=mock", "rate": 2_000_000,
+               "iq_swap": True})
+    assert r["ok"], r
+    assert r["rate"] == 2_000_000
+    assert hx.lr.pipeline.sample_rate == 2_000_000
+    src = hx.viewer.source
+    assert src.iq_swap
+    assert src.num_elems == hx.lr.pipeline.block_len
+
+    hx.run(3)                 # blocks flow from the mock hardware
+    st = json.loads(_get(hx.port, "/api/state"))
+    assert st["sample_rate"] == 2_000_000
+
+    # DeviceConfig reapplied on open (visible in the driver call log once
+    # the read loop applied the staged settings).
+    calls = src.device.calls
+    assert ("ppm", 5) in calls
+    assert ("agc", False) in calls
+    assert ("gain", "TUNER", 21.5) in calls
+    assert ("setting", "biastee", "true") in calls
+
+    # Gain slider on the RUNNING device forwards + persists (the device
+    # config key follows the selected device).
+    hx.viewer.device_info.gains = {"TUNER": (0.0, 49.6)}
+    g = _post(hx.port, "/api/gains", {"name": "TUNER", "value": 30.0})
+    assert g["ok"]
+    assert hx.viewer.config.get_device("manual=mock").gains["TUNER"] == 30.0
+
+    # And back to synthetic at the original rate — still no restart.
+    r = _post(hx.port, "/api/devices",
+              {"op": "select", "device_id": "synthetic=0", "rate": FS})
+    assert r["ok"] and hx.lr.pipeline.sample_rate == FS
+    hx.run(2)
+    assert json.loads(_get(hx.port, "/api/state"))["sample_rate"] == FS
