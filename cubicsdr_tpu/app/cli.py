@@ -151,10 +151,19 @@ def cmd_rx(args):
     step = jax.jit(rx.apply)
     state = rx.init_state()
     mix_w = WavWriter(args.output, 48000, 2)
+    player = None
+    if args.play:
+        from cubicsdr_tpu.io.audio_out import AudioOutput
+        player = AudioOutput(48000, 2, backend=args.play)
     for blk in src:
         state, out = step(state, (from_complex(blk), controls))
-        mix_w.write(np.asarray(out["mix"]))
+        mix = np.asarray(out["mix"])
+        mix_w.write(mix)
+        if player is not None:
+            player.write(mix)
     mix_w.close()
+    if player is not None:
+        player.close()
     print(f"wrote {mix_w.current_path} "
           f"({len(mgr.get_demodulators())} demods mixed)")
 
@@ -208,6 +217,10 @@ def cmd_serve(args):
     lr = LiveReceiver(rx, controls, src, center_freq=center,
                       record_path=args.record,
                       waterfall_fft=args.fft_size)
+    if args.audio:
+        # Host playback of the live mix (RtAudio role,
+        # ref: src/audio/AudioThread.cpp:88-243).
+        lr.set_audio_output(args.audio)
     viewer = WebViewer(lr, mgr, keyed, host=args.host,
                        port=args.port, device_info=device_info,
                        source=src).start()
@@ -324,6 +337,9 @@ def main(argv=None):
     r.add_argument("-o", "--output", default="mix.wav")
     r.add_argument("--channelizer", default="pfbch2",
                    choices=["pfbch", "pfbch2", "single"])
+    r.add_argument("--play", nargs="?", const="auto", default=None,
+                   help="also play the mix to a host audio backend "
+                        "(auto|sounddevice|wav:<path>|null)")
     r.set_defaults(fn=cmd_rx)
 
     s = sub.add_parser("serve", help="live receiver with web UI")
@@ -341,6 +357,9 @@ def main(argv=None):
                    help='rig control: "sim" or "hamlib:<model>:<port>[:baud]"')
     s.add_argument("--record", default=None,
                    help="base path to record per-demod WAVs")
+    s.add_argument("--audio", nargs="?", const="auto", default=None,
+                   help="play the live mix to a host audio backend "
+                        "(auto|sounddevice|wav:<path>|null)")
     s.add_argument("--channelizer", default="pfbch2",
                    choices=["pfbch", "pfbch2", "single"])
     s.set_defaults(fn=cmd_serve)

@@ -88,6 +88,10 @@ class LiveReceiver:
         self.audio_tap: collections.deque = collections.deque(maxlen=64)
         self.audio_cond = threading.Condition()
         self._audio_seq = 0
+        # Host audio playback (RtAudio role): the mix — or one soloed
+        # demod — drains to a local output device / WAV spool.
+        self.audio_output = None
+        self.audio_solo: Optional[int] = None    # flat demod index | None
 
         # Zoomed main-spectrum view (the is_view SpectrumVisualProcessor,
         # ref: src/process/SpectrumVisualProcessor.cpp:283-386) with
@@ -125,6 +129,14 @@ class LiveReceiver:
                 ok = self.ring.write(np.ascontiguousarray(re, np.float32),
                                      np.ascontiguousarray(im, np.float32))
                 self.metrics.tick("ingest", n, dropped=0 if ok else n)
+                # Surface the live source's loss counters
+                # (ref: SoapySDRThread overflow warnings, :384-399).
+                ov = getattr(source, "overflow_events", 0)
+                if ov:
+                    self.metrics.note("source_overflow_events", ov)
+                sb = getattr(source, "short_blocks", 0)
+                if sb:
+                    self.metrics.note("source_short_blocks", sb)
         except DeviceLostError as e:
             # Device vanished: stop producing, surface to the app loop
             # (ref: SoapySDRThread.cpp:405-433 device-loss stop + notify).
@@ -259,6 +271,95 @@ class LiveReceiver:
             # on the tunneled chip).
             self.zoom.prewarm_adjacent()
 
+    def set_display(self, lps=None, fft_average_rate=None, peak_hold=None,
+                    demod_view_fft=None):
+        """Runtime display parameters (ref: AppFrame per-canvas FFT size /
+        averaging speed / lines-per-second menus, src/AppFrame.cpp:
+        2320-2352): rebuilds only the affected visual programs, carrying
+        the smoothed display state so the waterfall never blanks."""
+        import jax
+        jnp = self._jnp
+        dt = PLANAR if self.planar else jnp.complex64
+        rebuild = False
+        if lps is not None and float(lps) != self.dist.lps:
+            self.dist = FFTDataDistributor(
+                self.spec.fft_size * 2, self.pipeline.sample_rate,
+                lines_per_second=float(lps),
+                block_len=self.pipeline.block_len, dtype=dt)
+            # Same state shapes (history + pacer phase): carry continuity.
+            rebuild = True
+        core = getattr(self.spec, "core", self.spec)
+        if ((fft_average_rate is not None
+             and float(fft_average_rate) != core.rate)
+                or (peak_hold is not None
+                    and bool(peak_hold) != core.peak_hold)):
+            spec_cls = type(self.spec)
+            self.spec = spec_cls(
+                self.spec.fft_size,
+                float(fft_average_rate) if fft_average_rate is not None
+                else core.rate,
+                peak_hold=bool(peak_hold) if peak_hold is not None
+                else core.peak_hold)
+            rebuild = True
+        if rebuild:
+            def _visual_step(st_dist, st_spec, x):
+                st_dist, (frames, valid) = self.dist.apply(st_dist, x)
+                st_spec, disp = self.spec.apply(st_spec, frames,
+                                                valid=valid)
+                return (st_dist, st_spec, disp["spectrum_points"],
+                        jnp.sum(valid.astype(jnp.int32)))
+
+            self._visual = jax.jit(_visual_step)
+        if demod_view_fft is not None \
+                and int(demod_view_fft) != self.demod_view_fft:
+            self.demod_view_fft = int(demod_view_fft)
+            spec_cls = type(self._dv_spec)
+            self._dv_spec = spec_cls(self.demod_view_fft)
+            self._dv_apply = jax.jit(self._dv_spec.apply)
+            self._dv_state = self._dv_spec.init_state()
+            self._dv_carry = np.zeros((2, 0), np.float32)
+            self.demod_spectrum = None
+
+    def display_params(self) -> dict:
+        core = getattr(self.spec, "core", self.spec)
+        return {"lps": self.dist.lps, "fft_average_rate": core.rate,
+                "peak_hold": bool(core.peak_hold),
+                "fft_size": self.spec.fft_size,
+                "demod_view_fft": self.demod_view_fft}
+
+    def set_audio_output(self, backend, device=None):
+        """Attach/replace/detach the host playback sink (RtAudio role).
+        backend: AudioOutput | 'auto' | 'sounddevice' | 'wav:<path>' |
+        'null' | None (detach)."""
+        from cubicsdr_tpu.io.audio_out import AudioOutput
+        old, self.audio_output = self.audio_output, None
+        if old is not None:
+            old.close()
+        if backend is None:
+            return
+        if not isinstance(backend, AudioOutput):
+            backend = AudioOutput(int(self.pipeline.audio_rate), 2,
+                                  backend=str(backend), device=device)
+        self.audio_output = backend
+
+    def set_audio_solo(self, idx: Optional[int]):
+        """Route ONE demod (flat group-order index) to the host device
+        instead of the mix (the reference's per-demod output-device
+        routing, ref: AudioThread per-device bound threads)."""
+        self.audio_solo = None if idx is None else int(idx)
+
+    def _solo_audio(self, out) -> Optional[np.ndarray]:
+        idx, off = self.audio_solo, 0
+        for g in out["groups"]:
+            rows = g["level"].shape[0]
+            if idx < off + rows:
+                if "audio" not in g:
+                    return None              # digital group: no audio
+                a = np.asarray(g["audio"][idx - off])
+                return np.concatenate([a, a]) if a.shape[0] == 1 else a
+            off += rows
+        return None
+
     def set_demod_view(self, idx: Optional[int]):
         """Select which demod's IQ tap feeds the demod-view spectrum
         (flat group-order index; None disables)."""
@@ -322,6 +423,14 @@ class LiveReceiver:
                 self.audio_tap.append(np.asarray(out["mix"]))
                 self._audio_seq += 1
                 self.audio_cond.notify_all()
+            if self.audio_output is not None:
+                a = (self._solo_audio(out) if self.audio_solo is not None
+                     else np.asarray(out["mix"]))
+                if a is not None:
+                    try:
+                        self.audio_output.write(a)
+                    except Exception as e:       # noqa: BLE001 — device
+                        self.metrics.note("audio_out_error", str(e))
         # Recording sinks per demod group/row (digital groups emit symbols,
         # not audio — they are skipped but still advance the flat index).
         if self.record_path:
@@ -354,6 +463,9 @@ class LiveReceiver:
             self._producer.join(timeout=2.0)
         for r in self._recorders.values():
             r.close()
+        if self.audio_output is not None:
+            self.audio_output.close()
+            self.audio_output = None
 
     def status(self) -> str:
         return self.metrics.status_line()

@@ -355,6 +355,8 @@ class WebViewer:
             "themes": sorted(THEMES),
             "demods": demods,
             "metrics": r.metrics.snapshot(),
+            "display": {**r.display_params(), "snap": self.config.snap,
+                        "perf_mode": self.config.perf_mode},
         }
 
     def spectrum_json(self) -> dict:
@@ -726,7 +728,8 @@ class WebViewer:
         action = cmd.get("action")
         if action == "tune":
             f = float(cmd["freq"])
-            snap = float(cmd.get("snap", 0) or 0)
+            default_snap = self.config.snap if self.config.snap > 1 else 0
+            snap = float(cmd.get("snap", default_snap) or 0)
             if snap > 0:                 # snap-to-step (ref: snap mode,
                 f = round(f / snap) * snap   # AppFrame frequency snap)
             r.center_freq = f
@@ -751,6 +754,45 @@ class WebViewer:
             off = cmd.get("offset")
             r.set_zoom(None if off is None else float(off),
                        float(cmd.get("bandwidth") or 0.0))
+        elif action == "display":
+            # Per-canvas display parameters (ref: AppFrame display menus,
+            # src/AppFrame.cpp:2320-2352): waterfall lines-per-second,
+            # spectrum averaging speed, peak hold, demod-view FFT size.
+            r.set_display(lps=cmd.get("lps"),
+                          fft_average_rate=cmd.get("fft_average_rate"),
+                          peak_hold=cmd.get("peak_hold"),
+                          demod_view_fft=cmd.get("demod_view_fft"))
+        elif action == "snap":
+            # Persistent tuning snap step (ref: AppConfig snap; 0/1 = off).
+            self.config.snap = max(1, int(cmd["step"]))
+        elif action == "perf_mode":
+            # LOW/NORMAL/HIGH throttling (ref: AppFrame.cpp:2207-2215):
+            # LOW caps the waterfall pace, HIGH restores the full rate.
+            from cubicsdr_tpu.app.config import (PERF_LOW, PERF_NORMAL,
+                                                 PERF_HIGH)
+            mode = {"low": PERF_LOW, "normal": PERF_NORMAL,
+                    "high": PERF_HIGH}[str(cmd["mode"]).lower()]
+            self.config.perf_mode = mode
+            caps = {PERF_LOW: 8.0, PERF_NORMAL: 30.0, PERF_HIGH: None}
+            cap = caps[mode]
+            if cap is not None and r.dist.lps > cap:
+                r.set_display(lps=cap)
+        elif action == "audio_output":
+            # Host playback sink (RtAudio role): backend auto|sounddevice|
+            # wav:<path>|null, or null backend detaches.
+            r.set_audio_output(cmd.get("backend"),
+                               device=cmd.get("device"))
+        elif action == "audio_solo" and self.mgr is not None:
+            # Route ONE demod to the host audio device instead of the mix
+            # (per-demod output routing, ref: AudioThread bound threads).
+            idx = cmd.get("index")
+            if idx is None:
+                r.set_audio_solo(None)
+            else:
+                d = self.mgr.get_demodulators()[int(idx)]
+                flat = self._flat_order()
+                r.set_audio_solo(
+                    next(fi for fi, x in enumerate(flat) if x is d))
         elif action == "view" and self.mgr is not None:
             # Select the demod-view spectrum target (mgr index or null).
             idx = cmd.get("index")
@@ -937,6 +979,16 @@ class WebViewer:
                     elif path == "/api/devices":
                         self._send(200,
                                    json.dumps(viewer.devices_json()).encode())
+                    elif path == "/api/audio_devices":
+                        from cubicsdr_tpu.io.audio_out import (
+                            enumerate_output_devices)
+                        self._send(200, json.dumps({
+                            "devices": enumerate_output_devices(),
+                            "backend": (viewer.receiver.audio_output.backend
+                                        if viewer.receiver.audio_output
+                                        else None),
+                            "solo": viewer.receiver.audio_solo,
+                        }).encode())
                     elif path == "/api/rig":
                         self._send(200,
                                    json.dumps(viewer.rig_json()).encode())

@@ -51,12 +51,20 @@ class Metrics:
 
     def __init__(self):
         self.stats: dict[str, StreamStats] = defaultdict(StreamStats)
+        self.notes: dict[str, object] = {}
 
     def tick(self, name: str, n_samples: int, dropped: int = 0):
         self.stats[name].tick(n_samples, dropped)
 
+    def note(self, key: str, value):
+        """Latest-value observability (device counters, last errors)."""
+        self.notes[key] = value
+
     def snapshot(self) -> dict:
-        return {k: v.snapshot() for k, v in self.stats.items()}
+        out = {k: v.snapshot() for k, v in self.stats.items()}
+        if self.notes:
+            out["notes"] = dict(self.notes)
+        return out
 
     def status_line(self) -> str:
         parts = [f"{k}: {v.msps:.2f} MS/s"

@@ -510,3 +510,75 @@ def test_device_select_soapy_and_back_mid_session(hx):
     assert r["ok"] and hx.lr.pipeline.sample_rate == FS
     hx.run(2)
     assert json.loads(_get(hx.port, "/api/state"))["sample_rate"] == FS
+
+
+def test_host_audio_output_and_solo(hx, tmp_path):
+    """Host playback wiring (the RtAudio role): the live mix drains to a
+    local sink (WAV backend on headless hosts), a single demod can be
+    soloed to it, and output devices enumerate over REST."""
+    wav_path = str(tmp_path / "live_mix.wav")
+    assert _post(hx.port, "/api/control",
+                 {"action": "audio_output",
+                  "backend": f"wav:{wav_path}"})["ok"]
+    hx.run(3)
+    ad = json.loads(_get(hx.port, "/api/audio_devices"))
+    assert ad["backend"] == "wav" and ad["solo"] is None
+    assert isinstance(ad["devices"], list)   # empty on headless hosts
+
+    # Solo one demod to the host sink.
+    assert _post(hx.port, "/api/control",
+                 {"action": "audio_solo", "index": 0})["ok"]
+    hx.run(2)
+    assert json.loads(_get(hx.port, "/api/audio_devices"))["solo"] == 0
+    assert _post(hx.port, "/api/control",
+                 {"action": "audio_solo", "index": None})["ok"]
+
+    # Detach closes the WAV; it must be a playable file with audio in it.
+    assert _post(hx.port, "/api/control",
+                 {"action": "audio_output", "backend": None})["ok"]
+    import wave
+    w = wave.open(wav_path)
+    assert w.getnchannels() == 2
+    assert w.getframerate() == int(hx.lr.pipeline.audio_rate)
+    n = w.getnframes()
+    pcm = np.frombuffer(w.readframes(n), "<i2")
+    assert n > 0 and np.abs(pcm).max() > 0
+
+
+def test_display_controls_rest(hx):
+    """Display-parameter parity (ref: src/AppFrame.cpp:2320-2352 per-canvas
+    FFT/averaging/LPS menus + :2207-2215 perf-mode throttle)."""
+    st = json.loads(_get(hx.port, "/api/state"))
+    assert st["display"]["lps"] == 30.0
+    # Waterfall pace + averaging + peak hold + demod-view FFT size.
+    assert _post(hx.port, "/api/control",
+                 {"action": "display", "lps": 12.0,
+                  "fft_average_rate": 0.4, "peak_hold": True,
+                  "demod_view_fft": 128})["ok"]
+    hx.run(2)
+    st = json.loads(_get(hx.port, "/api/state"))["display"]
+    assert st["lps"] == 12.0
+    assert abs(st["fft_average_rate"] - 0.4) < 1e-9
+    assert st["peak_hold"] is True
+    assert st["demod_view_fft"] == 128
+    # Display still streams after the rebuilds.
+    sp = json.loads(_get(hx.port, "/api/spectrum"))
+    assert len(sp["points"]) == 256
+
+    # Persistent snap applies to tunes that don't pass one.
+    assert _post(hx.port, "/api/control",
+                 {"action": "snap", "step": 12500})["ok"]
+    assert _post(hx.port, "/api/control",
+                 {"action": "tune", "freq": 100.004e6})["ok"]
+    assert hx.lr.center_freq == 100.0e6
+    _post(hx.port, "/api/control", {"action": "snap", "step": 1})
+
+    # Perf mode LOW throttles the waterfall pace.
+    assert _post(hx.port, "/api/control",
+                 {"action": "perf_mode", "mode": "low"})["ok"]
+    assert json.loads(_get(hx.port, "/api/state"))["display"]["lps"] == 8.0
+    assert _post(hx.port, "/api/control",
+                 {"action": "perf_mode", "mode": "high"})["ok"]
+    _post(hx.port, "/api/control", {"action": "display", "lps": 30.0,
+                                    "peak_hold": False,
+                                    "fft_average_rate": 0.65})
