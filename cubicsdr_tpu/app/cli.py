@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 import numpy as np
@@ -144,6 +145,8 @@ def cmd_rx(args):
         print(f"cannot load session {args.session}", file=sys.stderr)
         return 1
     specs, keyed = plan_from_manager(mgr)
+    if args.mesh:
+        return _rx_sharded(args, mgr, sess, specs, keyed)
     rx = ReceiverPipeline(sess.sample_rate, specs,
                           chan_mode=args.channelizer, dtype=PLANAR)
     controls = controls_from_manager(mgr, rx, keyed, sess.center_freq)
@@ -166,6 +169,94 @@ def cmd_rx(args):
         player.close()
     print(f"wrote {mix_w.current_path} "
           f"({len(mgr.get_demodulators())} demods mixed)")
+
+
+def _rx_sharded(args, mgr, sess, specs, keyed):
+    """Session rx on a device MESH (SURVEY §7 step 7 as an application,
+    not a bench): ShardedReceiver end-to-end — halo-exchanged channelizer,
+    chan-sharded demod rows, psum mix into the WAV, the all-gather spectrum
+    feeding the waterfall PNG, per-demod recording taps, and bit-continuous
+    checkpoint save/restore of the PLACED state."""
+    import jax
+    from cubicsdr_tpu.app.checkpoint import save_state, load_state
+    from cubicsdr_tpu.io import FileIQSource, WavWriter
+    from cubicsdr_tpu.io.recorder import RecordingSink
+    from cubicsdr_tpu.io.sources import optimal_channel_count
+    from cubicsdr_tpu.parallel import make_receiver_mesh
+    from cubicsdr_tpu.parallel.sharded import ShardedReceiver
+    from cubicsdr_tpu.receiver import controls_from_manager
+    from cubicsdr_tpu.visual import Waterfall
+    from cubicsdr_tpu.visual.spectrum import (SpectrumProcessor,
+                                              mags_to_display)
+
+    kv = dict(p.split("=") for p in args.mesh.split(","))
+    nt, nc = int(kv.get("time", 1)), int(kv.get("chan", 1))
+    if nt * nc > len(jax.devices()):
+        print(f"mesh {nt}x{nc} needs {nt * nc} devices, have "
+              f"{len(jax.devices())}", file=sys.stderr)
+        return 1
+    mesh = make_receiver_mesh(n_time=nt, n_chan=nc,
+                              devices=jax.devices()[: nt * nc])
+    fft = args.fft_size
+    rx = ShardedReceiver(sess.sample_rate,
+                         num_channels=optimal_channel_count(
+                             sess.sample_rate),
+                         groups=specs, mesh=mesh, spectrum_fft=fft)
+    controls = controls_from_manager(mgr, rx, keyed, sess.center_freq)
+    state = rx.init_state()
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        state, meta = load_state(args.checkpoint, state)
+        print(f"resumed from {args.checkpoint} "
+              f"(block {meta.get('blocks', '?')})")
+    state = rx.place_state(state)
+    step = rx.make_step()
+
+    src = FileIQSource(args.input, sess.sample_rate, rx.block_len)
+    mix_w = WavWriter(args.output, rx.audio_rate, 2)
+    core = SpectrumProcessor(fft)
+    st_sp = core.init_state()
+    wf = Waterfall(fft, max(32, src.n_samples // rx.block_len * nt))
+    recorders: dict[int, RecordingSink] = {}
+    n_blocks = 0
+    for blk in src:
+        state, out = step(state, rx.shard_iq(blk), controls)
+        mix_w.write(np.asarray(out["mix"]))
+        st_sp, pts = mags_to_display(core, st_sp,
+                                     np.asarray(out["spectrum_mags"]))
+        wf.add_lines(np.tile(pts, (rx.nt, 1)))
+        if args.record:
+            flat = 0
+            for gi, g in enumerate(out["groups"]):
+                rows = np.asarray(g["level"]).shape[0]
+                if "audio" not in g:
+                    flat += rows
+                    continue
+                audio = np.asarray(g["audio"])
+                squelched = np.asarray(g["squelched"])
+                for ri in range(rows):
+                    key = flat + ri
+                    if key not in recorders:
+                        recorders[key] = RecordingSink(
+                            f"{args.record}_demod{key}", rx.audio_rate,
+                            channels=audio.shape[1])
+                    recorders[key].write(audio[ri], bool(squelched[ri]))
+                flat += rows
+        n_blocks += 1
+    mix_w.close()
+    for r in recorders.values():
+        r.close()
+    png = args.output.rsplit(".", 1)[0] + "_waterfall.png"
+    with open(png, "wb") as f:
+        f.write(wf.render_png_bytes())
+    if args.checkpoint:
+        # Host-side snapshot of the placed (sharded) state tree.
+        save_state(args.checkpoint,
+                   jax.tree.map(lambda a: np.asarray(a), state),
+                   meta={"blocks": n_blocks})
+    print(f"sharded rx on {nt}x{nc} mesh: {n_blocks} blocks -> "
+          f"{mix_w.current_path}, {png}"
+          + (f", checkpoint {args.checkpoint}" if args.checkpoint else ""))
+    return 0
 
 
 def cmd_serve(args):
@@ -340,6 +431,18 @@ def main(argv=None):
     r.add_argument("--play", nargs="?", const="auto", default=None,
                    help="also play the mix to a host audio backend "
                         "(auto|sounddevice|wav:<path>|null)")
+    r.add_argument("--mesh", default=None,
+                   help='run on a device mesh, e.g. "time=4,chan=2" '
+                        "(sharded receiver: halo channelizer, psum mix, "
+                        "all-gather spectrum waterfall)")
+    r.add_argument("--fft-size", type=int, default=512,
+                   help="waterfall FFT size (sharded mode)")
+    r.add_argument("--checkpoint", default=None,
+                   help="state snapshot path: resumed if present, saved "
+                        "at end (bit-continuous, sharded mode)")
+    r.add_argument("--record", default=None,
+                   help="base path for per-demod recording WAVs "
+                        "(sharded mode)")
     r.set_defaults(fn=cmd_rx)
 
     s = sub.add_parser("serve", help="live receiver with web UI")

@@ -146,6 +146,18 @@ class SpectrumProcessor(StreamOp):
         return state, self._points(state, dc_offset_bins)
 
 
+def mags_to_display(core: "SpectrumProcessor", st, mags):
+    """Feed raw (already fftshifted) |FFT| frames into the display EMA and
+    return (state, display points). This is the host-side consumer of the
+    ShardedReceiver's all-gathered ``spectrum_mags`` (SURVEY §2.11 spectrum
+    assembly): the collectives deliver one magnitude frame per time shard;
+    this maps them through the same smoothing/floor-ceil math the
+    single-chip visual path uses."""
+    for mag in np.atleast_2d(np.asarray(mags, np.float32)):
+        st = frame_update(core, st, jnp.asarray(mag))
+    return st, np.asarray(core._points(st)["spectrum_points"])
+
+
 def _hide_dc(points, offset_bins, fft_size, width_bins=None):
     """Mirror neighbors over the DC spike (ref :578-624): bins within
     ``width_bins`` of ``offset_bins`` (position of the device center in the
