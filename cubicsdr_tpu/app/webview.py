@@ -222,9 +222,17 @@ def _carry_streaming_state(old_rx, old_state, old_keyed, new_rx, new_keyed,
         for ri, d in enumerate(demods):
             old_pos[id(d)] = (key, gi, ri)
 
-    def port_rows(new_leaf, old_leaf, pairs):
+    def port_rows(new_leaf, old_leaf, pairs, n_new, n_old):
         if not hasattr(new_leaf, "shape") or new_leaf.ndim == 0:
             return new_leaf
+        per_demod = (new_leaf.shape[0] == n_new
+                     and np.shape(old_leaf)[0] == n_old
+                     and new_leaf.shape[1:] == np.shape(old_leaf)[1:])
+        if not per_demod:
+            # Channel-indexed leaf (fused-route per-channel tails): same
+            # shape carries verbatim, otherwise keep the cold init.
+            return old_leaf if new_leaf.shape == np.shape(old_leaf) \
+                else new_leaf
         buf = np.array(new_leaf)
         old = np.asarray(old_leaf)
         for new_ri, old_ri in pairs:
@@ -241,9 +249,11 @@ def _carry_streaming_state(old_rx, old_state, old_keyed, new_rx, new_keyed,
         if not pairs:
             continue
         old_gi = old_pos[id(demods[pairs[0][0]])][1]
+        n_old = len(list(old_keyed.values())[old_gi])
         try:
             groups[gi] = jax.tree.map(
-                lambda nl, ol: port_rows(nl, ol, pairs),
+                lambda nl, ol: port_rows(nl, ol, pairs, len(demods),
+                                         n_old),
                 new_state["groups"][gi], old_state["groups"][old_gi])
         except ValueError:
             continue                       # structure changed: start cold

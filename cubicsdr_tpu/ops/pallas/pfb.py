@@ -98,12 +98,17 @@ def _pick_tile(n_steps: int, tile: int) -> tuple[int, int]:
     return top, (-n_steps) % top
 
 
+# Tests flip this to run the kernel under the Pallas interpreter on CPU.
+INTERPRET = False
+
+
 def pfbch2_planar_pallas(z_re, z_im, h_poly, M: int,
                          tile: int = 2048, interpret: bool = False):
     """z planes [hist + L] (hist = (2J-1)*D) -> channel planes [M, L//D].
 
     h_poly: [M, J] float32 prototype branches. Returns (chans_re, chans_im).
     """
+    interpret = interpret or INTERPRET
     D = M // 2
     J = h_poly.shape[1]
     hist = (2 * J - 1) * D

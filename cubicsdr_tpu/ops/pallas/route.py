@@ -1,0 +1,164 @@
+"""Fused route + NCO-shift + rational-resample Pallas TPU kernel — the
+256-demod north-star hot path.
+
+The XLA frontend (receiver/frontend.py + ops/resample.py) materializes, per
+demod, the gathered full-rate channel stream AND its overlapped Toeplitz
+windows in HBM: at 256 demods x 128k channel samples that is ~GB of HBM
+traffic per block and it dominates the chain (BENCH.md round-2/3 ablation;
+ref hot paths #1/#2: src/sdr/SDRPostThread.cpp:303-396 routing +
+src/demod/DemodulatorPreThread.cpp:153-220 NCO/resample).
+
+This kernel keeps all per-demod full-rate data in VMEM. Per output tile of
+O samples (grid step i):
+
+    HBM->VMEM  Z [M, Wd]        one window of ALL channels (read ~W/S times
+                                 total ~= 1.2x the channel data, not N x)
+    MXU        X = onehot @ Z    route: channel select as a tiny matmul
+    VPU        Xm = X * E        fold the NCO: E[r,i] = e^{+i w_r i}
+                                 (modulating the WINDOW keeps the shared
+                                 Toeplitz taps REAL -> 2 matmuls, not 4)
+    MXU        Y = Xm @ T        resample: banded [Wd, O] tap matrix
+    VPU        out = Y * e^{i phi(r,i)}   per-tile base phase rotation
+    VMEM->HBM  out [N, O]
+
+Numerically identical to ops/resample.planar_shifted_resample_matmul on the
+gathered stream (same Toeplitz matrix, same phase bookkeeping): the
+modulation e^{+i w i} commutes from the tap matrix onto the window because
+the phase is linear in the shared sample index i.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cubicsdr_tpu.ops.resample import _toeplitz_np
+
+TWO_PI = 6.283185307179586
+
+# Tests flip this to run the kernel under the Pallas interpreter on CPU.
+INTERPRET = False
+
+
+def choose_fused_tile(n_out: int, P: int, Q: int, lo: int = 64,
+                      hi: int = 1024, target: int = 128):
+    """Output tile O for the fused kernel: O % P == 0, n_out % O == 0, and
+    the input stride S = (O//P)*Q must be 128-aligned (DMA slices move in
+    lane multiples of 128). None if infeasible (caller falls back)."""
+    cands = [o for o in range(lo, hi + 1)
+             if o % P == 0 and n_out % o == 0 and ((o // P) * Q) % 128 == 0]
+    return min(cands, key=lambda o: abs(o - target)) if cands else None
+
+
+def _kernel(z_re_hbm, z_im_hbm, oh_ref, er_ref, ei_ref, t_ref,
+            rc_ref, rs_ref, out_re, out_im, s_re, s_im, sem,
+            *, S: int, Wd: int):
+    i = pl.program_id(0)
+    cp_re = pltpu.make_async_copy(z_re_hbm.at[:, pl.ds(i * S, Wd)],
+                                  s_re, sem.at[0])
+    cp_im = pltpu.make_async_copy(z_im_hbm.at[:, pl.ds(i * S, Wd)],
+                                  s_im, sem.at[1])
+    cp_re.start()
+    cp_im.start()
+    cp_re.wait()
+    cp_im.wait()
+
+    oh = oh_ref[:]                                      # [N, M]
+    x_re = jnp.dot(oh, s_re[:], preferred_element_type=jnp.float32)
+    x_im = jnp.dot(oh, s_im[:], preferred_element_type=jnp.float32)
+    er, ei = er_ref[:], ei_ref[:]                       # [N, Wd]
+    xm_re = x_re * er - x_im * ei
+    xm_im = x_im * er + x_re * ei
+    t = t_ref[:]                                        # [Wd, O] real taps
+    y_re = jnp.dot(xm_re, t, preferred_element_type=jnp.float32)
+    y_im = jnp.dot(xm_im, t, preferred_element_type=jnp.float32)
+    c, s = rc_ref[:], rs_ref[:]                         # [N, 1]
+    out_re[:] = y_re * c - y_im * s
+    out_im[:] = y_im * c + y_re * s
+
+
+def routed_shifted_resample_pallas(z_re, z_im, chan_idx, omega, phase_w0,
+                                   rs, interpret: bool | None = None):
+    """z planes [M, hist + Lc] per-CHANNEL raw streams (rs.hist_len history
+    prefix), chan_idx/omega/phase_w0 [N] -> (y_re, y_im) [N, n_out] routed,
+    shifted and P/Q-resampled. None if no fused tile divides (caller falls
+    back to the gather + XLA path)."""
+    if interpret is None:
+        interpret = INTERPRET
+    M, total = z_re.shape
+    L = total - rs.hist_len
+    n_out = L // rs.Q * rs.P
+    O = choose_fused_tile(n_out, rs.P, rs.Q)
+    if O is None:
+        return None
+    T_np, S, W = _toeplitz_np(
+        tuple(np.asarray(rs.ker).reshape(-1).tolist()), rs.P, rs.Q, rs.KK, O)
+    Wd = -(-W // 128) * 128
+    n_rows = n_out // O
+    N = chan_idx.shape[0]
+    N8 = max(8, -(-N // 8) * 8)
+    M8 = max(8, -(-M // 8) * 8)
+
+    # Host prep (all O(N*W) or O(M*L) ONCE — no per-demod full-rate data):
+    start = rs.hist_len + rs.Q - 1 - (rs.KK - 1)
+    need = (n_rows - 1) * S + Wd
+    tail_pad = max(0, start + need - total)
+    zs_re = jnp.pad(z_re, ((0, M8 - M), (0, tail_pad)))[:,
+                                                        start: start + need]
+    zs_im = jnp.pad(z_im, ((0, M8 - M), (0, tail_pad)))[:,
+                                                        start: start + need]
+
+    onehot = jnp.pad(
+        jax.nn.one_hot(chan_idx, M, dtype=jnp.float32),
+        ((0, N8 - N), (0, M8 - M)))
+    omega = jnp.pad(jnp.asarray(omega, jnp.float32), (0, N8 - N))
+    phase_w0 = jnp.pad(jnp.asarray(phase_w0, jnp.float32), (0, N8 - N))
+    i_idx = jnp.arange(Wd, dtype=jnp.float32)
+    th = jnp.mod(omega[:, None] * i_idx, TWO_PI)        # [N8, Wd]
+    E_re, E_im = jnp.cos(th), jnp.sin(th)
+    T = jnp.asarray(np.pad(T_np, ((0, Wd - W), (0, 0))))
+    r_idx = jnp.arange(n_rows, dtype=jnp.float32)
+    a = jnp.mod(omega * S, TWO_PI)
+    phi = jnp.mod(phase_w0[:, None]
+                  + jnp.mod(a[:, None] * r_idx, TWO_PI), TWO_PI)
+    rot_c, rot_s = jnp.cos(phi), jnp.sin(phi)           # [N8, n_rows]
+
+    kern = partial(_kernel, S=S, Wd=Wd)
+    out_shape = [jax.ShapeDtypeStruct((N8, n_out), jnp.float32)] * 2
+    yr, yi = pl.pallas_call(
+        kern,
+        grid=(n_rows,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),          # zs_re (manual DMA)
+            pl.BlockSpec(memory_space=pl.ANY),          # zs_im
+            pl.BlockSpec((N8, M8), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),      # onehot
+            pl.BlockSpec((N8, Wd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),      # E_re
+            pl.BlockSpec((N8, Wd), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),      # E_im
+            pl.BlockSpec((Wd, O), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),      # T
+            pl.BlockSpec((N8, 1), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),      # rot_c column
+            pl.BlockSpec((N8, 1), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),      # rot_s column
+        ],
+        out_specs=[
+            pl.BlockSpec((N8, O), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N8, O), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((M8, Wd), jnp.float32),
+            pltpu.VMEM((M8, Wd), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(zs_re, zs_im, onehot, E_re, E_im, T, rot_c, rot_s)
+    return yr[:N], yi[:N]

@@ -162,6 +162,73 @@ class ChannelFrontend(StreamOp):
         return (base, c_r), y
 
 
+class RoutedChannelFrontend(ChannelFrontend):
+    """Fused route + NCO + resample (Pallas hot path): consumes the CHANNEL
+    matrix [M, Lc] directly — no per-demod gather, no per-demod full-rate
+    stream in HBM (ops/pallas/route.py). State keeps ONE raw tail per
+    CHANNEL instead of per demod: smaller, and exact across retunes (a
+    demod that hops channels picks up the new channel's true history, where
+    the per-demod tail would replay the old channel's samples — the
+    reference's channel re-map behaves this way too,
+    ref: src/sdr/SDRPostThread.cpp:128-139).
+
+    apply(state, (chans PC [M, Lc], chan_idx [N], omega [N])).
+    """
+
+    def __init__(self, channel_rate: float, bandwidth: float,
+                 n_demods: int, num_channels: int,
+                 dtype=PLANAR):
+        super().__init__(channel_rate, bandwidth, n_demods, (),
+                         dtype=dtype, fold=True)
+        assert self.folded, "fused routing needs the planar folded path"
+        self.M = int(num_channels)
+
+    @classmethod
+    def upgrade(cls, fe: "ChannelFrontend", num_channels: int,
+                chan_len: int):
+        """A fused twin of ``fe``, or None when the kernel's tile
+        constraints don't hold for this (stage1, chan_len)."""
+        from cubicsdr_tpu.ops.pallas.route import choose_fused_tile
+        if not fe.folded or len(fe.bs) != 1:
+            return None
+        rs = fe._stage1
+        if chan_len % rs.Q:
+            return None
+        n_out1 = chan_len // rs.Q * rs.P
+        if choose_fused_tile(n_out1, rs.P, rs.Q) is None:
+            return None
+        return cls(fe.channel_rate, fe.bandwidth, fe.bs[0], num_channels,
+                   dtype=fe.dtype)
+
+    def init_state(self):
+        from cubicsdr_tpu.ops.planar import dtype_zeros
+        return (self.nco.init_state(),                 # per-demod phase
+                dtype_zeros((self.M, self._stage1.hist_len), PLANAR),
+                tuple(s.init_state() for s in self._rest))
+
+    def apply(self, state, inputs):
+        from cubicsdr_tpu.ops.pallas.route import (
+            routed_shifted_resample_pallas)
+        chans, chan_idx, omega = inputs
+        phase0, hist, rest = state
+        omega = jnp.asarray(omega, jnp.float32)
+        rs = self._stage1
+        z = xcat([hist, chans])                        # [M, hist + Lc]
+        phase_w0 = jnp.mod(phase0 + omega * (rs.Q - rs.KK), TWO_PI)
+        out = routed_shifted_resample_pallas(
+            z.re, z.im, jnp.asarray(chan_idx, jnp.int32), omega, phase_w0,
+            rs)
+        assert out is not None, "upgrade() guaranteed a fused tile"
+        y = PC(*out)
+        new_hist = xtail(z, rs.hist_len)
+        new_phase = jnp.mod(phase0 + omega * chans.shape[-1], TWO_PI)
+        new_rest = []
+        for s_i, st_i in zip(self._rest, rest):
+            st_i, y = s_i.apply(st_i, y)
+            new_rest.append(st_i)
+        return (new_phase, new_hist, tuple(new_rest)), y
+
+
 def _shard_tail_stage(op, carry, x, axis):
     from cubicsdr_tpu.parallel.shardable import shard_stage
     return shard_stage(op, carry, x, axis)

@@ -140,6 +140,21 @@ class ReceiverPipeline(StreamOp):
         self.block_len = block_len or self.choose_block_len()
         self._check_lengths()
 
+        # Fused route+frontend upgrade (Pallas, the 256-demod hot path):
+        # groups whose first resampler stage admits a 128-aligned output
+        # tile skip the per-demod channel gather entirely — the kernel
+        # reads the channel matrix once and keeps all per-demod full-rate
+        # data in VMEM (ops/pallas/route.py).
+        self.fused_route = [False] * len(self.groups)
+        if use_pallas and dtype == PLANAR and self.channelizer is not None:
+            from cubicsdr_tpu.receiver.frontend import RoutedChannelFrontend
+            for gi, fe in enumerate(self.frontends):
+                rfe = RoutedChannelFrontend.upgrade(fe, self.M,
+                                                    self._chan_len)
+                if rfe is not None:
+                    self.frontends[gi] = rfe
+                    self.fused_route[gi] = True
+
     # --- static shape bookkeeping ---
     def group_block_multiple(self, gi: int) -> int:
         fe = self.frontends[gi]
@@ -264,10 +279,15 @@ class ReceiverPipeline(StreamOp):
             # src/sdr/SDRPostThread.cpp:128-139).
             dist = jnp.abs(freqs[:, None] - centers[None, :])
             chan_idx = jnp.argmin(dist, axis=-1)
-            x = (pc_take(chans, chan_idx, axis=-2) if planar
-                 else jnp.take(chans, chan_idx, axis=-2))    # [..., N, Lc]
             omega = shift_omegas(freqs, centers[chan_idx], self.chan_rate)
-            s_fe, y = fe.apply(s_fe, (x, omega))
+            if self.fused_route[gi]:
+                # Fused kernel consumes the channel matrix directly —
+                # routing happens in VMEM, no [N, Lc] gather in HBM.
+                s_fe, y = fe.apply(s_fe, (chans, chan_idx, omega))
+            else:
+                x = (pc_take(chans, chan_idx, axis=-2) if planar
+                     else jnp.take(chans, chan_idx, axis=-2))  # [.., N, Lc]
+                s_fe, y = fe.apply(s_fe, (x, omega))
             s_kit, ko = kit.apply(s_kit, y)
             if self.is_digital[gi]:
                 # Symbol modem: no audio; meter the channel IQ

@@ -32,6 +32,10 @@ def timeit(fn, state, iqs, n=10):
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--demods", type=int, default=16)
+    args = ap.parse_args()
     import jax
     import jax.numpy as jnp
     from cubicsdr_tpu.ops.planar import PC, pc_take
@@ -39,7 +43,7 @@ def main():
     from cubicsdr_tpu.ops.channelizer import channel_centers
     from bench import build_pipeline
 
-    rx, controls = build_pipeline(16)
+    rx, controls = build_pipeline(args.demods)
     K = 8
     rng = np.random.default_rng(0)
     iqs = PC(jnp.asarray(rng.standard_normal((K, rx.block_len))
@@ -108,7 +112,7 @@ def main():
           flush=True)
 
     # 5. full apply, XLA channelizer (no pallas)
-    rx2, controls2 = build_pipeline(16, use_pallas=False)
+    rx2, controls2 = build_pipeline(args.demods, use_pallas=False)
     def b_full2(s, iq):
         s, out = rx2.apply(s, (iq, controls2))
         return s, (jnp.sum(out["mix"]), jnp.concatenate([g["level"] for g in out["groups"]], -1))

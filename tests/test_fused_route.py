@@ -1,0 +1,117 @@
+"""Fused route+NCO+resample Pallas kernel (ops/pallas/route.py): kernel ==
+the gather + folded-XLA path, and the whole ReceiverPipeline(use_pallas) ==
+the XLA pipeline, streaming, under the Pallas interpreter on CPU."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import cubicsdr_tpu.ops.pallas.pfb as pfb_mod
+import cubicsdr_tpu.ops.pallas.route as route_mod
+from cubicsdr_tpu.ops.planar import PC, PLANAR
+from cubicsdr_tpu.receiver import ReceiverPipeline, DemodGroupSpec
+
+
+@pytest.fixture
+def interp():
+    pfb_mod.INTERPRET = True
+    route_mod.INTERPRET = True
+    yield
+    pfb_mod.INTERPRET = False
+    route_mod.INTERPRET = False
+
+
+def test_kernel_matches_folded_xla_path(rng):
+    from cubicsdr_tpu.ops.resample import (
+        RationalResampler, planar_shifted_resample_matmul)
+    from cubicsdr_tpu.ops.pallas.route import routed_shifted_resample_pallas
+    M, N = 16, 24
+    rs = RationalResampler(1, 5, batch_shape=(N,), dtype=PLANAR)
+    Lc = 5 * 128 * 8 * 5
+    z = rng.standard_normal((2, M, rs.hist_len + Lc)).astype(np.float32)
+    chan_idx = rng.integers(0, M, N).astype(np.int32)
+    omega = rng.uniform(-0.5, 0.5, N).astype(np.float32)
+    phase0 = rng.uniform(0, 6.28, N).astype(np.float32)
+    phase_w0 = np.mod(phase0 + omega * (rs.Q - rs.KK),
+                      2 * np.pi).astype(np.float32)
+    zg = z[:, chan_idx, :]
+    ref = planar_shifted_resample_matmul(
+        PC(jnp.asarray(zg[0]), jnp.asarray(zg[1])), rs,
+        jnp.asarray(omega), jnp.asarray(phase_w0))
+    yr, yi = routed_shifted_resample_pallas(
+        jnp.asarray(z[0]), jnp.asarray(z[1]), jnp.asarray(chan_idx),
+        jnp.asarray(omega), jnp.asarray(phase_w0), rs, interpret=True)
+    np.testing.assert_allclose(np.asarray(ref.re), np.asarray(yr), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(ref.im), np.asarray(yi), atol=5e-5)
+
+
+def test_pipeline_fused_route_matches_xla(interp, rng):
+    """Full unified pipeline, use_pallas=True (fused channelizer AND fused
+    route): streaming outputs must equal the XLA pipeline on the same
+    blocks. This is the program bench.py runs on the chip."""
+    fs = 8_000_000
+    n_demods = 8
+    specs = [DemodGroupSpec("FM", 200000, n_demods)]
+    # 128-aligned block so both the PFBCH2 kernel and the fused-route tile
+    # constraints hold (same rule bench.py uses).
+    rx0 = ReceiverPipeline(fs, specs, dtype=PLANAR)
+    m = int(np.lcm(rx0.group_block_multiple(0), rx0._decim * 128))
+    L = 2 * m
+    rx_p = ReceiverPipeline(fs, specs, dtype=PLANAR, use_pallas=True,
+                            block_len=L)
+    rx_x = ReceiverPipeline(fs, specs, dtype=PLANAR, use_pallas=False,
+                            block_len=L)
+    assert rx_p.fused_route == [True]
+    assert rx_x.fused_route == [False]
+
+    controls = rx_p.control_template()
+    controls[0]["frequency"] = np.asarray(
+        [((i % 16) - 8) * 500e3 + 20e3 for i in range(n_demods)],
+        np.float32)
+    st_p, st_x = rx_p.init_state(), rx_x.init_state()
+    for _ in range(3):
+        blk = rng.standard_normal((2, L)).astype(np.float32)
+        iq = PC(jnp.asarray(blk[0]), jnp.asarray(blk[1]))
+        st_p, out_p = rx_p.apply(st_p, (iq, controls))
+        st_x, out_x = rx_x.apply(st_x, (iq, controls))
+        np.testing.assert_allclose(np.asarray(out_p["mix"]),
+                                   np.asarray(out_x["mix"]),
+                                   atol=2e-3, rtol=1e-3)
+        g_p, g_x = out_p["groups"][0], out_x["groups"][0]
+        np.testing.assert_allclose(np.asarray(g_p["audio"]),
+                                   np.asarray(g_x["audio"]),
+                                   atol=2e-3, rtol=1e-3)
+        np.testing.assert_allclose(np.asarray(g_p["level"]),
+                                   np.asarray(g_x["level"]), atol=0.05)
+
+
+def test_fused_route_retune_mid_stream(interp, rng):
+    """Retunes are traced inputs: moving a demod (including across a
+    channel boundary) between blocks must keep the fused pipeline equal to
+    the XLA pipeline from the retune block on (fresh states — the fused
+    path keeps per-CHANNEL history, the XLA path per-demod history; they
+    agree when the history is consistent with the new channel)."""
+    fs = 8_000_000
+    specs = [DemodGroupSpec("FM", 200000, 4)]
+    rx0 = ReceiverPipeline(fs, specs, dtype=PLANAR)
+    m = int(np.lcm(rx0.group_block_multiple(0), rx0._decim * 128))
+    L = m
+    rx_p = ReceiverPipeline(fs, specs, dtype=PLANAR, use_pallas=True,
+                            block_len=L)
+    assert rx_p.fused_route == [True]
+    controls = rx_p.control_template()
+    controls[0]["frequency"] = np.asarray([-1500e3, -500e3, 20e3, 1500e3],
+                                          np.float32)
+    st = rx_p.init_state()
+    blk = rng.standard_normal((2, L)).astype(np.float32)
+    iq = PC(jnp.asarray(blk[0]), jnp.asarray(blk[1]))
+    st, out1 = rx_p.apply(st, (iq, controls))
+    # Retune demod 2 across a channel boundary — same compiled plan.
+    controls[0]["frequency"] = np.asarray([-1500e3, -500e3, 1020e3, 1500e3],
+                                          np.float32)
+    st, out2 = rx_p.apply(st, (iq, controls))
+    assert np.isfinite(np.asarray(out2["mix"])).all()
+    a1 = np.asarray(out1["groups"][0]["audio"][2])
+    a2 = np.asarray(out2["groups"][0]["audio"][2])
+    assert not np.allclose(a1, a2)       # it actually moved
