@@ -74,6 +74,17 @@ _PAGE = """<!doctype html>
  theme <select id="theme" onchange="setTheme()"></select>
  <button onclick="listen()">listen</button>
  <button onclick="bookmarkSel()">bookmark</button></div>
+<div>device <select id="devsel"></select>
+ <button onclick="devSelect()">switch</button>
+ <button onclick="devCtl('stop')">stop</button>
+ <button onclick="devCtl('start')">start</button>
+ | lps <input id="lps" size="3" onchange="setDisplay()">
+ avg <input id="avg" size="4" onchange="setDisplay()">
+ peak <input id="peak" type="checkbox" onchange="setDisplay()">
+ snap <input id="snap" size="6" onchange="setSnap()">
+ perf <select id="perf" onchange="setPerf()">
+  <option>low</option><option>normal</option><option>high</option>
+ </select></div>
 <audio id="aud" controls style="display:none"></audio>
 <div id="demods"></div>
 <div id="gains"></div>
@@ -183,7 +194,47 @@ function listen() {
   a.style.display = 'block'; a.src = '/api/audio.wav?' + Date.now();
   a.play();
 }
+async function pollDevices() {
+  try {
+    const d = await (await fetch('/api/devices')).json();
+    const sel = document.getElementById('devsel');
+    if (!sel.options.length) for (const e of d.devices) {
+      const o = document.createElement('option');
+      o.value = e.device_id; o.text = e.name || e.device_id; sel.add(o); }
+    if (st && st.display) {
+      for (const [id, k] of [['lps','lps'], ['avg','fft_average_rate'],
+                             ['snap','snap']]) {
+        const el = document.getElementById(id);
+        if (document.activeElement !== el) el.value = st.display[k]; }
+      document.getElementById('peak').checked = st.display.peak_hold;
+      document.getElementById('perf').selectedIndex = st.display.perf_mode;
+    }
+  } catch (e) {}
+  setTimeout(pollDevices, 3000);
+}
+async function devSelect() {
+  const id = document.getElementById('devsel').value;
+  await fetch('/api/devices', {method:'POST',
+    body: JSON.stringify({op:'select', device_id: id})});
+}
+async function devCtl(op) {
+  await fetch('/api/devices', {method:'POST', body: JSON.stringify({op})});
+}
+function setDisplay() {
+  ctl({action:'display',
+       lps: parseFloat(document.getElementById('lps').value),
+       fft_average_rate: parseFloat(document.getElementById('avg').value),
+       peak_hold: document.getElementById('peak').checked});
+}
+function setSnap() {
+  ctl({action:'snap',
+       step: parseInt(document.getElementById('snap').value) || 1});
+}
+function setPerf() {
+  ctl({action:'perf_mode', mode: document.getElementById('perf').value});
+}
 poll();
+pollDevices();
 </script></body></html>"""
 
 
