@@ -77,7 +77,8 @@ def _kernel(z_re_hbm, z_im_hbm, oh_ref, er_ref, ei_ref, t_ref,
     t = t_ref[:]                                        # [Wd, O] real taps
     y_re = jnp.dot(xm_re, t, preferred_element_type=jnp.float32)
     y_im = jnp.dot(xm_im, t, preferred_element_type=jnp.float32)
-    c, s = rc_ref[:], rs_ref[:]                         # [N, 1]
+    c = rc_ref[:, pl.ds(i, 1)]                          # [N, 1] tile phase
+    s = rs_ref[:, pl.ds(i, 1)]
     out_re[:] = y_re * c - y_im * s
     out_im[:] = y_im * c + y_re * s
 
@@ -122,11 +123,12 @@ def routed_shifted_resample_pallas(z_re, z_im, chan_idx, omega, phase_w0,
     th = jnp.mod(omega[:, None] * i_idx, TWO_PI)        # [N8, Wd]
     E_re, E_im = jnp.cos(th), jnp.sin(th)
     T = jnp.asarray(np.pad(T_np, ((0, Wd - W), (0, 0))))
-    r_idx = jnp.arange(n_rows, dtype=jnp.float32)
+    n_rows_p = -(-n_rows // 128) * 128          # lane-tiled VMEM residency
+    r_idx = jnp.arange(n_rows_p, dtype=jnp.float32)
     a = jnp.mod(omega * S, TWO_PI)
     phi = jnp.mod(phase_w0[:, None]
                   + jnp.mod(a[:, None] * r_idx, TWO_PI), TWO_PI)
-    rot_c, rot_s = jnp.cos(phi), jnp.sin(phi)           # [N8, n_rows]
+    rot_c, rot_s = jnp.cos(phi), jnp.sin(phi)           # [N8, n_rows_p]
 
     kern = partial(_kernel, S=S, Wd=Wd)
     out_shape = [jax.ShapeDtypeStruct((N8, n_out), jnp.float32)] * 2
@@ -144,10 +146,10 @@ def routed_shifted_resample_pallas(z_re, z_im, chan_idx, omega, phase_w0,
                          memory_space=pltpu.VMEM),      # E_im
             pl.BlockSpec((Wd, O), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),      # T
-            pl.BlockSpec((N8, 1), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),      # rot_c column
-            pl.BlockSpec((N8, 1), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),      # rot_s column
+            pl.BlockSpec((N8, n_rows_p), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),      # rot_c (resident)
+            pl.BlockSpec((N8, n_rows_p), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),      # rot_s (resident)
         ],
         out_specs=[
             pl.BlockSpec((N8, O), lambda i: (0, i), memory_space=pltpu.VMEM),
