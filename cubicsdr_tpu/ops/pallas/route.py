@@ -56,7 +56,7 @@ def choose_fused_tile(n_out: int, P: int, Q: int, lo: int = 64,
 
 
 def _kernel(z_re_hbm, z_im_hbm, oh_ref, er_ref, ei_ref, t_ref,
-            rc_ref, rs_ref, out_re, out_im, s_re, s_im, sem,
+            pw0_ref, a1_ref, a64_ref, out_re, out_im, s_re, s_im, sem,
             *, S: int, Wd: int):
     i = pl.program_id(0)
     cp_re = pltpu.make_async_copy(z_re_hbm.at[:, pl.ds(i * S, Wd)],
@@ -77,8 +77,13 @@ def _kernel(z_re_hbm, z_im_hbm, oh_ref, er_ref, ei_ref, t_ref,
     t = t_ref[:]                                        # [Wd, O] real taps
     y_re = jnp.dot(xm_re, t, preferred_element_type=jnp.float32)
     y_im = jnp.dot(xm_im, t, preferred_element_type=jnp.float32)
-    c = rc_ref[:, pl.ds(i, 1)]                          # [N, 1] tile phase
-    s = rs_ref[:, pl.ds(i, 1)]
+    # Tile base phase phi(r, i) = pw0 + omega*S*i, computed from split
+    # pre-wrapped increments (a1 = mod(wS), a64 = mod(64 wS)) so the f32
+    # products stay small regardless of the tile count.
+    hi = (i // 64).astype(jnp.float32)
+    lo = (i % 64).astype(jnp.float32)
+    phi = jnp.mod(pw0_ref[:] + a64_ref[:] * hi + a1_ref[:] * lo, TWO_PI)
+    c, s = jnp.cos(phi), jnp.sin(phi)                   # [N, 1]
     out_re[:] = y_re * c - y_im * s
     out_im[:] = y_im * c + y_re * s
 
@@ -123,12 +128,9 @@ def routed_shifted_resample_pallas(z_re, z_im, chan_idx, omega, phase_w0,
     th = jnp.mod(omega[:, None] * i_idx, TWO_PI)        # [N8, Wd]
     E_re, E_im = jnp.cos(th), jnp.sin(th)
     T = jnp.asarray(np.pad(T_np, ((0, Wd - W), (0, 0))))
-    n_rows_p = -(-n_rows // 128) * 128          # lane-tiled VMEM residency
-    r_idx = jnp.arange(n_rows_p, dtype=jnp.float32)
-    a = jnp.mod(omega * S, TWO_PI)
-    phi = jnp.mod(phase_w0[:, None]
-                  + jnp.mod(a[:, None] * r_idx, TWO_PI), TWO_PI)
-    rot_c, rot_s = jnp.cos(phi), jnp.sin(phi)           # [N8, n_rows_p]
+    pw0 = phase_w0[:, None]                             # [N8, 1]
+    a1 = jnp.mod(omega * S, TWO_PI)[:, None]
+    a64 = jnp.mod(64.0 * jnp.mod(omega * S, TWO_PI), TWO_PI)[:, None]
 
     kern = partial(_kernel, S=S, Wd=Wd)
     out_shape = [jax.ShapeDtypeStruct((N8, n_out), jnp.float32)] * 2
@@ -146,10 +148,12 @@ def routed_shifted_resample_pallas(z_re, z_im, chan_idx, omega, phase_w0,
                          memory_space=pltpu.VMEM),      # E_im
             pl.BlockSpec((Wd, O), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),      # T
-            pl.BlockSpec((N8, n_rows_p), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),      # rot_c (resident)
-            pl.BlockSpec((N8, n_rows_p), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),      # rot_s (resident)
+            pl.BlockSpec((N8, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),      # phase_w0
+            pl.BlockSpec((N8, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),      # mod(omega S)
+            pl.BlockSpec((N8, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),      # mod(64 omega S)
         ],
         out_specs=[
             pl.BlockSpec((N8, O), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -162,5 +166,5 @@ def routed_shifted_resample_pallas(z_re, z_im, chan_idx, omega, phase_w0,
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(zs_re, zs_im, onehot, E_re, E_im, T, rot_c, rot_s)
+    )(zs_re, zs_im, onehot, E_re, E_im, T, pw0, a1, a64)
     return yr[:N], yi[:N]

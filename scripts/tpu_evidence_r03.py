@@ -152,10 +152,48 @@ def sharded_vs_unsharded(K=8, block_len=None):
     }), flush=True)
 
 
+def fused_check():
+    """REAL-chip numerics: the fused (Pallas channelizer + fused route)
+    pipeline must match the XLA pipeline on the hardware, not just under
+    the interpreter."""
+    import jax
+    import jax.numpy as jnp
+    from cubicsdr_tpu.ops.planar import PC, PLANAR
+    from cubicsdr_tpu.receiver import ReceiverPipeline, DemodGroupSpec
+
+    fs = 8_000_000
+    specs = [DemodGroupSpec("FM", 200000, 8)]
+    rx0 = ReceiverPipeline(fs, specs, dtype=PLANAR)
+    m = int(np.lcm(rx0.group_block_multiple(0), rx0._decim * 128))
+    L = 2 * m
+    rx_p = ReceiverPipeline(fs, specs, dtype=PLANAR, use_pallas=True,
+                            block_len=L)
+    rx_x = ReceiverPipeline(fs, specs, dtype=PLANAR, use_pallas=False,
+                            block_len=L)
+    controls = rx_p.control_template()
+    controls[0]["frequency"] = np.asarray(
+        [((i % 16) - 8) * 500e3 + 20e3 for i in range(8)], np.float32)
+    sp, sx = rx_p.init_state(), rx_x.init_state()
+    fp = jax.jit(rx_p.apply)
+    fx = jax.jit(rx_x.apply)
+    rng = np.random.default_rng(0)
+    errs = []
+    for _ in range(3):
+        blk = rng.standard_normal((2, L)).astype(np.float32)
+        iq = PC(jnp.asarray(blk[0]), jnp.asarray(blk[1]))
+        sp, op = fp(sp, (iq, controls))
+        sx, ox = fx(sx, (iq, controls))
+        errs.append(float(np.max(np.abs(np.asarray(op["mix"])
+                                        - np.asarray(ox["mix"])))))
+    print(json.dumps({"tag": "fused_check", "fused": rx_p.fused_route,
+                      "max_mix_err": errs,
+                      "ok": max(errs) < 2e-3}), flush=True)
+
+
 if __name__ == "__main__":
     import argparse
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", choices=["all", "bench", "sharded"],
+    ap.add_argument("--only", choices=["all", "bench", "sharded", "check"],
                     default="all")
     ap.add_argument("--sharded-block", type=int, default=None)
     args = ap.parse_args()
@@ -163,6 +201,8 @@ if __name__ == "__main__":
     print(json.dumps({"tag": "env",
                       "devices": [str(d) for d in jax.devices()]}),
           flush=True)
+    if args.only == "check":
+        fused_check()
     if args.only in ("all", "bench"):
         bench_pipeline(16, "bench_demod16")
         bench_pipeline(256, "bench_demod256")
