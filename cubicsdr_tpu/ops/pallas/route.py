@@ -69,14 +69,20 @@ def _kernel(z_re_hbm, z_im_hbm, oh_ref, er_ref, ei_ref, t_ref,
     cp_im.wait()
 
     oh = oh_ref[:]                                      # [N, M]
-    x_re = jnp.dot(oh, s_re[:], preferred_element_type=jnp.float32)
-    x_im = jnp.dot(oh, s_im[:], preferred_element_type=jnp.float32)
+    # HIGHEST: the MXU's default precision is one bf16 pass (~1e-3
+    # relative) — fine for ML, not for a 60 dB-stopband signal path.
+    x_re = jnp.dot(oh, s_re[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    x_im = jnp.dot(oh, s_im[:], preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     er, ei = er_ref[:], ei_ref[:]                       # [N, Wd]
     xm_re = x_re * er - x_im * ei
     xm_im = x_im * er + x_re * ei
     t = t_ref[:]                                        # [Wd, O] real taps
-    y_re = jnp.dot(xm_re, t, preferred_element_type=jnp.float32)
-    y_im = jnp.dot(xm_im, t, preferred_element_type=jnp.float32)
+    y_re = jnp.dot(xm_re, t, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+    y_im = jnp.dot(xm_im, t, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     # Tile base phase phi(r, i) = pw0 + omega*S*i, computed from split
     # pre-wrapped increments (a1 = mod(wS), a64 = mod(64 wS)) so the f32
     # products stay small regardless of the tile count.
