@@ -72,8 +72,13 @@ def _kernel(z_re_hbm, z_im_hbm, h_ref, wr_ref, wi_ref,
     wiu, wil = wi_ref[:, :D], wi_ref[:, D:]
 
     def dft(wm, a, b):
-        return (jnp.dot(wm[0], a, preferred_element_type=jnp.float32)
-                + jnp.dot(wm[1], b, preferred_element_type=jnp.float32))
+        # HIGHEST: one-pass-bf16 (the MXU default) injects ~-45 dB noise
+        # into every channel — unacceptable on the signal path.
+        hp = jax.lax.Precision.HIGHEST
+        return (jnp.dot(wm[0], a, preferred_element_type=jnp.float32,
+                        precision=hp)
+                + jnp.dot(wm[1], b, preferred_element_type=jnp.float32,
+                          precision=hp))
 
     y_re = (dft((wru, wrl), uu_re, ul_re) - dft((wiu, wil), uu_im, ul_im))
     y_im = (dft((wru, wrl), uu_im, ul_im) + dft((wiu, wil), uu_re, ul_re))

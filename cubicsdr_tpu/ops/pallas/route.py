@@ -44,6 +44,11 @@ TWO_PI = 6.283185307179586
 # Tests flip this to run the kernel under the Pallas interpreter on CPU.
 INTERPRET = False
 
+# MXU pass count for the kernel's dots. DEFAULT (one bf16 pass, ~-45 dB)
+# is not acceptable on a signal path; HIGHEST is ~f32. HIGH (3-pass) is
+# the perf/accuracy A/B knob (scripts/tpu_evidence_r03.py).
+DOT_PRECISION = jax.lax.Precision.HIGHEST
+
 
 def choose_fused_tile(n_out: int, P: int, Q: int, lo: int = 64,
                       hi: int = 1024, target: int = 128):
@@ -57,7 +62,7 @@ def choose_fused_tile(n_out: int, P: int, Q: int, lo: int = 64,
 
 def _kernel(z_re_hbm, z_im_hbm, oh_ref, er_ref, ei_ref, t_ref,
             pw0_ref, a1_ref, a64_ref, out_re, out_im, s_re, s_im, sem,
-            *, S: int, Wd: int):
+            *, S: int, Wd: int, prec):
     i = pl.program_id(0)
     cp_re = pltpu.make_async_copy(z_re_hbm.at[:, pl.ds(i * S, Wd)],
                                   s_re, sem.at[0])
@@ -69,20 +74,20 @@ def _kernel(z_re_hbm, z_im_hbm, oh_ref, er_ref, ei_ref, t_ref,
     cp_im.wait()
 
     oh = oh_ref[:]                                      # [N, M]
-    # HIGHEST: the MXU's default precision is one bf16 pass (~1e-3
+    # Raised precision: the MXU's default is one bf16 pass (~1e-3
     # relative) — fine for ML, not for a 60 dB-stopband signal path.
     x_re = jnp.dot(oh, s_re[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=prec)
     x_im = jnp.dot(oh, s_im[:], preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=prec)
     er, ei = er_ref[:], ei_ref[:]                       # [N, Wd]
     xm_re = x_re * er - x_im * ei
     xm_im = x_im * er + x_re * ei
     t = t_ref[:]                                        # [Wd, O] real taps
     y_re = jnp.dot(xm_re, t, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=prec)
     y_im = jnp.dot(xm_im, t, preferred_element_type=jnp.float32,
-                   precision=jax.lax.Precision.HIGHEST)
+                   precision=prec)
     # Tile base phase phi(r, i) = pw0 + omega*S*i, computed from split
     # pre-wrapped increments (a1 = mod(wS), a64 = mod(64 wS)) so the f32
     # products stay small regardless of the tile count.
@@ -138,7 +143,7 @@ def routed_shifted_resample_pallas(z_re, z_im, chan_idx, omega, phase_w0,
     a1 = jnp.mod(omega * S, TWO_PI)[:, None]
     a64 = jnp.mod(64.0 * jnp.mod(omega * S, TWO_PI), TWO_PI)[:, None]
 
-    kern = partial(_kernel, S=S, Wd=Wd)
+    kern = partial(_kernel, S=S, Wd=Wd, prec=DOT_PRECISION)
     out_shape = [jax.ShapeDtypeStruct((N8, n_out), jnp.float32)] * 2
     yr, yi = pl.pallas_call(
         kern,

@@ -234,6 +234,7 @@ def conv_real(x: jax.Array, h: jax.Array, stride: int = 1,
         dimension_numbers=("NCW", "OIW", "NCW"),
         feature_group_count=groups, rhs_dilation=(dilation,),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,   # TPU default is 1-pass bf16
     )
     return y.reshape(*batch_shape, y.shape[-2], y.shape[-1])
 
@@ -266,7 +267,8 @@ def pc_idft_m(u: PC, axis_m: int = -2) -> PC:
     u: [..., M, T] by default."""
     Wr, Wi = _idft_mats(u.re.shape[axis_m])
     mv = lambda W, a: jnp.einsum("km,...mt->...kt", W,
-                                 jnp.moveaxis(a, axis_m, -2))
+                                 jnp.moveaxis(a, axis_m, -2),
+                                 precision=jax.lax.Precision.HIGHEST)
     yr = mv(Wr, u.re) - mv(Wi, u.im)
     yi = mv(Wr, u.im) + mv(Wi, u.re)
     return PC(jnp.moveaxis(yr, -2, axis_m), jnp.moveaxis(yi, -2, axis_m))
@@ -288,7 +290,8 @@ def pc_dft_m(u: PC, axis_m: int = -2) -> PC:
     """Forward DFT along ``axis_m`` as two real matmuls."""
     Wr, Wi = _dft_mats(u.re.shape[axis_m])
     mv = lambda W, a: jnp.einsum("km,...mt->...kt", W,
-                                 jnp.moveaxis(a, axis_m, -2))
+                                 jnp.moveaxis(a, axis_m, -2),
+                                 precision=jax.lax.Precision.HIGHEST)
     yr = mv(Wr, u.re) - mv(Wi, u.im)
     yi = mv(Wr, u.im) + mv(Wi, u.re)
     return PC(jnp.moveaxis(yr, -2, axis_m), jnp.moveaxis(yi, -2, axis_m))

@@ -375,7 +375,8 @@ def planar_resample_matmul(x, rs: RationalResampler):
         fr = jnp.concatenate([A[..., i: i + n_rows, :] for i in range(k_sl)],
                              axis=-1)[..., :W]         # [..., n_rows, W]
         y = jnp.einsum("...rw,wo->...ro", fr, T,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
         return y.reshape(*y.shape[:-2], n_out)
 
     if is_pc:
@@ -439,14 +440,17 @@ def planar_shifted_resample_matmul(z, rs: RationalResampler, omega,
     th = jnp.mod(omega[..., None] * i_idx, TWO_PI)   # [..., N, W]
     Tm_re = T * jnp.cos(th)[..., :, None]            # [..., N, W, O]
     Tm_im = T * jnp.sin(th)[..., :, None]
+    # HIGHEST: TPU's default one-pass-bf16 matmuls measure ~-51 dB rms vs
+    # float64 truth on chip — below the 60 dB stopband these taps promise.
+    hp = jax.lax.Precision.HIGHEST
     y_re = (jnp.einsum("...ri,...io->...ro", fr_re, Tm_re,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32, precision=hp)
             - jnp.einsum("...ri,...io->...ro", fr_im, Tm_im,
-                         preferred_element_type=jnp.float32))
+                         preferred_element_type=jnp.float32, precision=hp))
     y_im = (jnp.einsum("...ri,...io->...ro", fr_re, Tm_im,
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32, precision=hp)
             + jnp.einsum("...ri,...io->...ro", fr_im, Tm_re,
-                         preferred_element_type=jnp.float32))
+                         preferred_element_type=jnp.float32, precision=hp))
     # Per-tile base rotation e^{+i(phase_w0 + ω r S)}.
     r_idx = jnp.arange(n_rows, dtype=jnp.float32)
     a = jnp.mod(omega * S, TWO_PI)
