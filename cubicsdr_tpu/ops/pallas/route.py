@@ -44,10 +44,12 @@ TWO_PI = 6.283185307179586
 # Tests flip this to run the kernel under the Pallas interpreter on CPU.
 INTERPRET = False
 
-# MXU pass count for the kernel's dots. DEFAULT (one bf16 pass, ~-45 dB)
-# is not acceptable on a signal path; HIGHEST is ~f32. HIGH (3-pass) is
-# the perf/accuracy A/B knob (scripts/tpu_evidence_r03.py).
-DOT_PRECISION = jax.lax.Precision.HIGHEST
+# MXU strategy for the kernel's dots. DEFAULT (one bf16 pass, ~-45 dB) is
+# not acceptable on a signal path. "split_bf16" (default) hand-rolls mixed
+# precision: exact 2-pass selection + bf16x3 main dots (~-96 dB) at ~2.4x
+# less MXU work than Precision.HIGHEST (~f32, 6 passes), which Mosaic also
+# accepts here (jax.lax.Precision.HIGH does NOT lower in Mosaic).
+DOT_PRECISION = "split_bf16"
 
 
 def choose_fused_tile(n_out: int, P: int, Q: int, lo: int = 64,
@@ -73,21 +75,56 @@ def _kernel(z_re_hbm, z_im_hbm, oh_ref, er_ref, ei_ref, t_ref,
     cp_re.wait()
     cp_im.wait()
 
-    oh = oh_ref[:]                                      # [N, M]
-    # Raised precision: the MXU's default is one bf16 pass (~1e-3
-    # relative) — fine for ML, not for a 60 dB-stopband signal path.
-    x_re = jnp.dot(oh, s_re[:], preferred_element_type=jnp.float32,
-                   precision=prec)
-    x_im = jnp.dot(oh, s_im[:], preferred_element_type=jnp.float32,
-                   precision=prec)
-    er, ei = er_ref[:], ei_ref[:]                       # [N, Wd]
-    xm_re = x_re * er - x_im * ei
-    xm_im = x_im * er + x_re * ei
-    t = t_ref[:]                                        # [Wd, O] real taps
-    y_re = jnp.dot(xm_re, t, preferred_element_type=jnp.float32,
-                   precision=prec)
-    y_im = jnp.dot(xm_im, t, preferred_element_type=jnp.float32,
-                   precision=prec)
+    if prec == "split_bf16":
+        # Hand-rolled mixed precision, ~2.4x less MXU work than HIGHEST
+        # (which burns 6 bf16 passes per dot, and pads the selection dot's
+        # 16-deep contraction to 128 making it as expensive as the main
+        # dot). Selection: the one-hot is EXACT in bf16, so splitting the
+        # data into bf16 hi+lo makes two single-pass dots an exact f32 row
+        # copy. Main dot: bf16x3 (hi*hi + hi*lo + lo*hi; the dropped lo*lo
+        # term is ~2^-16 relative, -96 dB — far below the 60 dB stopband).
+        oh = oh_ref[:].astype(jnp.bfloat16)
+
+        def split(v):
+            v_hi = v.astype(jnp.bfloat16)
+            return v_hi, (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def sel(s):
+            v_hi, v_lo = split(s[:])
+            return (jnp.dot(oh, v_hi, preferred_element_type=jnp.float32)
+                    + jnp.dot(oh, v_lo, preferred_element_type=jnp.float32))
+
+        x_re, x_im = sel(s_re), sel(s_im)
+        er, ei = er_ref[:], ei_ref[:]                   # [N, Wd]
+        xm_re = x_re * er - x_im * ei
+        xm_im = x_im * er + x_re * ei
+        t_hi, t_lo = t_ref[0], t_ref[1]                 # [Wd, O] bf16 pair
+
+        def main(xm):
+            x_hi, x_lo = split(xm)
+            return (jnp.dot(x_hi, t_hi, preferred_element_type=jnp.float32)
+                    + jnp.dot(x_hi, t_lo,
+                              preferred_element_type=jnp.float32)
+                    + jnp.dot(x_lo, t_hi,
+                              preferred_element_type=jnp.float32))
+
+        y_re, y_im = main(xm_re), main(xm_im)
+    else:
+        oh = oh_ref[:]                                  # [N, M]
+        # Raised precision: the MXU's default is one bf16 pass (~1e-3
+        # relative) — fine for ML, not for a 60 dB-stopband signal path.
+        x_re = jnp.dot(oh, s_re[:], preferred_element_type=jnp.float32,
+                       precision=prec)
+        x_im = jnp.dot(oh, s_im[:], preferred_element_type=jnp.float32,
+                       precision=prec)
+        er, ei = er_ref[:], ei_ref[:]                   # [N, Wd]
+        xm_re = x_re * er - x_im * ei
+        xm_im = x_im * er + x_re * ei
+        t = t_ref[:]                                    # [Wd, O] real taps
+        y_re = jnp.dot(xm_re, t, preferred_element_type=jnp.float32,
+                       precision=prec)
+        y_im = jnp.dot(xm_im, t, preferred_element_type=jnp.float32,
+                       precision=prec)
     # Tile base phase phi(r, i) = pw0 + omega*S*i, computed from split
     # pre-wrapped increments (a1 = mod(wS), a64 = mod(64 wS)) so the f32
     # products stay small regardless of the tile count.
@@ -138,7 +175,19 @@ def routed_shifted_resample_pallas(z_re, z_im, chan_idx, omega, phase_w0,
     i_idx = jnp.arange(Wd, dtype=jnp.float32)
     th = jnp.mod(omega[:, None] * i_idx, TWO_PI)        # [N8, Wd]
     E_re, E_im = jnp.cos(th), jnp.sin(th)
-    T = jnp.asarray(np.pad(T_np, ((0, Wd - W), (0, 0))))
+    T_f32 = np.pad(T_np, ((0, Wd - W), (0, 0)))
+    if DOT_PRECISION == "split_bf16":
+        # Static taps pre-split into an exact bf16 (hi, lo) pair.
+        import ml_dtypes
+        T_hi = T_f32.astype(ml_dtypes.bfloat16)
+        T_lo = (T_f32 - T_hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        T = jnp.asarray(np.stack([T_hi, T_lo]))         # [2, Wd, O] bf16
+        t_spec = pl.BlockSpec((2, Wd, O), lambda i: (0, 0, 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        T = jnp.asarray(T_f32)
+        t_spec = pl.BlockSpec((Wd, O), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
     pw0 = phase_w0[:, None]                             # [N8, 1]
     a1 = jnp.mod(omega * S, TWO_PI)[:, None]
     a64 = jnp.mod(64.0 * jnp.mod(omega * S, TWO_PI), TWO_PI)[:, None]
@@ -157,8 +206,7 @@ def routed_shifted_resample_pallas(z_re, z_im, chan_idx, omega, phase_w0,
                          memory_space=pltpu.VMEM),      # E_re
             pl.BlockSpec((N8, Wd), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),      # E_im
-            pl.BlockSpec((Wd, O), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),      # T
+            t_spec,                                     # T (f32 | bf16 pair)
             pl.BlockSpec((N8, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),      # phase_w0
             pl.BlockSpec((N8, 1), lambda i: (0, 0),

