@@ -64,17 +64,33 @@ def choose_fused_tile(n_out: int, P: int, Q: int, lo: int = 64,
 
 def _kernel(z_re_hbm, z_im_hbm, oh_ref, er_ref, ei_ref, t_ref,
             pw0_ref, a1_ref, a64_ref, out_re, out_im, s_re, s_im, sem,
-            *, S: int, Wd: int, prec):
-    i = pl.program_id(0)
-    cp_re = pltpu.make_async_copy(z_re_hbm.at[:, pl.ds(i * S, Wd)],
+            *, S: int, Wd: int, O: int, Tt: int, prec):
+    # One grid step covers Tt output tiles: ONE bigger DMA instead of Tt
+    # small ones (serial start/wait latency was ~40% of kernel time at
+    # Tt=1), then a static in-kernel loop over the sub-tiles whose window
+    # offsets j*S are 128-aligned VMEM slices.
+    g = pl.program_id(0)
+    dma_w = (Tt - 1) * S + Wd
+    cp_re = pltpu.make_async_copy(z_re_hbm.at[:, pl.ds(g * (S * Tt), dma_w)],
                                   s_re, sem.at[0])
-    cp_im = pltpu.make_async_copy(z_im_hbm.at[:, pl.ds(i * S, Wd)],
+    cp_im = pltpu.make_async_copy(z_im_hbm.at[:, pl.ds(g * (S * Tt), dma_w)],
                                   s_im, sem.at[1])
     cp_re.start()
     cp_im.start()
     cp_re.wait()
     cp_im.wait()
 
+    for j in range(Tt):
+        _one_tile(g * Tt + j, j, oh_ref, er_ref, ei_ref, t_ref,
+                  pw0_ref, a1_ref, a64_ref, out_re, out_im, s_re, s_im,
+                  S=S, Wd=Wd, O=O, prec=prec)
+
+
+def _one_tile(i, j, oh_ref, er_ref, ei_ref, t_ref,
+              pw0_ref, a1_ref, a64_ref, out_re, out_im, s_re, s_im,
+              *, S: int, Wd: int, O: int, prec):
+    sl_in = slice(j * S, j * S + Wd)
+    sl_out = slice(j * O, (j + 1) * O)
     if prec == "split_bf16":
         # Hand-rolled mixed precision, ~2.4x less MXU work than HIGHEST
         # (which burns 6 bf16 passes per dot, and pads the selection dot's
@@ -90,7 +106,7 @@ def _kernel(z_re_hbm, z_im_hbm, oh_ref, er_ref, ei_ref, t_ref,
             return v_hi, (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
 
         def sel(s):
-            v_hi, v_lo = split(s[:])
+            v_hi, v_lo = split(s[:, sl_in])
             return (jnp.dot(oh, v_hi, preferred_element_type=jnp.float32)
                     + jnp.dot(oh, v_lo, preferred_element_type=jnp.float32))
 
@@ -113,10 +129,10 @@ def _kernel(z_re_hbm, z_im_hbm, oh_ref, er_ref, ei_ref, t_ref,
         oh = oh_ref[:]                                  # [N, M]
         # Raised precision: the MXU's default is one bf16 pass (~1e-3
         # relative) — fine for ML, not for a 60 dB-stopband signal path.
-        x_re = jnp.dot(oh, s_re[:], preferred_element_type=jnp.float32,
-                       precision=prec)
-        x_im = jnp.dot(oh, s_im[:], preferred_element_type=jnp.float32,
-                       precision=prec)
+        x_re = jnp.dot(oh, s_re[:, sl_in],
+                       preferred_element_type=jnp.float32, precision=prec)
+        x_im = jnp.dot(oh, s_im[:, sl_in],
+                       preferred_element_type=jnp.float32, precision=prec)
         er, ei = er_ref[:], ei_ref[:]                   # [N, Wd]
         xm_re = x_re * er - x_im * ei
         xm_im = x_im * er + x_re * ei
@@ -132,8 +148,8 @@ def _kernel(z_re_hbm, z_im_hbm, oh_ref, er_ref, ei_ref, t_ref,
     lo = (i % 64).astype(jnp.float32)
     phi = jnp.mod(pw0_ref[:] + a64_ref[:] * hi + a1_ref[:] * lo, TWO_PI)
     c, s = jnp.cos(phi), jnp.sin(phi)                   # [N, 1]
-    out_re[:] = y_re * c - y_im * s
-    out_im[:] = y_im * c + y_re * s
+    out_re[:, sl_out] = y_re * c - y_im * s
+    out_im[:, sl_out] = y_im * c + y_re * s
 
 
 def routed_shifted_resample_pallas(z_re, z_im, chan_idx, omega, phase_w0,
@@ -192,11 +208,14 @@ def routed_shifted_resample_pallas(z_re, z_im, chan_idx, omega, phase_w0,
     a1 = jnp.mod(omega * S, TWO_PI)[:, None]
     a64 = jnp.mod(64.0 * jnp.mod(omega * S, TWO_PI), TWO_PI)[:, None]
 
-    kern = partial(_kernel, S=S, Wd=Wd, prec=DOT_PRECISION)
+    # Sub-tiles per grid step: fewer, bigger DMAs (serial DMA start/wait
+    # latency dominated the Tt=1 kernel at small tiles).
+    Tt = next(t for t in (8, 4, 2, 1) if n_rows % t == 0)
+    kern = partial(_kernel, S=S, Wd=Wd, O=O, Tt=Tt, prec=DOT_PRECISION)
     out_shape = [jax.ShapeDtypeStruct((N8, n_out), jnp.float32)] * 2
     yr, yi = pl.pallas_call(
         kern,
-        grid=(n_rows,),
+        grid=(n_rows // Tt,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),          # zs_re (manual DMA)
             pl.BlockSpec(memory_space=pl.ANY),          # zs_im
@@ -215,13 +234,15 @@ def routed_shifted_resample_pallas(z_re, z_im, chan_idx, omega, phase_w0,
                          memory_space=pltpu.VMEM),      # mod(64 omega S)
         ],
         out_specs=[
-            pl.BlockSpec((N8, O), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N8, O), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((N8, Tt * O), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((N8, Tt * O), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((M8, Wd), jnp.float32),
-            pltpu.VMEM((M8, Wd), jnp.float32),
+            pltpu.VMEM((M8, (Tt - 1) * S + Wd), jnp.float32),
+            pltpu.VMEM((M8, (Tt - 1) * S + Wd), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
