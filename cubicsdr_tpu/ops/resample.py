@@ -347,6 +347,28 @@ def planar_rational_resample(x, rs: RationalResampler):
     return one_plane(x)
 
 
+def _hp_einsum(sub: str, a, b):
+    """Signal-path einsum at true-f32 accuracy, priced for the backend.
+
+    CPU: plain f32 (exact, native). TPU: the MXU's f32 "HIGHEST" costs 6
+    bf16 passes; the hand-split bf16x3 form (hi*hi + hi*lo + lo*hi, the
+    dropped lo*lo term is ~2^-16 relative, -96 dB) halves that. Same trick
+    as the fused kernel's split_bf16 (ops/pallas/route.py)."""
+    if jax.default_backend() != "tpu":
+        return jnp.einsum(sub, a, b, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    def split(v):
+        v_hi = v.astype(jnp.bfloat16)
+        return v_hi, (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    a_hi, a_lo = split(a)
+    b_hi, b_lo = split(b)
+    e = lambda u, v: jnp.einsum(sub, u, v,
+                                preferred_element_type=jnp.float32)
+    return e(a_hi, b_hi) + e(a_hi, b_lo) + e(a_lo, b_hi)
+
+
 def planar_resample_matmul(x, rs: RationalResampler):
     """MXU form of the rational resampler: overlapping stride-S windows of
     the stream against a banded [W, O] tap matrix — one big
@@ -374,9 +396,7 @@ def planar_resample_matmul(x, rs: RationalResampler):
         A = wp.reshape(*wp.shape[:-1], n_rows + k_sl - 1, S)
         fr = jnp.concatenate([A[..., i: i + n_rows, :] for i in range(k_sl)],
                              axis=-1)[..., :W]         # [..., n_rows, W]
-        y = jnp.einsum("...rw,wo->...ro", fr, T,
-                       preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+        y = _hp_einsum("...rw,wo->...ro", fr, T)
         return y.reshape(*y.shape[:-2], n_out)
 
     if is_pc:
@@ -440,17 +460,13 @@ def planar_shifted_resample_matmul(z, rs: RationalResampler, omega,
     th = jnp.mod(omega[..., None] * i_idx, TWO_PI)   # [..., N, W]
     Tm_re = T * jnp.cos(th)[..., :, None]            # [..., N, W, O]
     Tm_im = T * jnp.sin(th)[..., :, None]
-    # HIGHEST: TPU's default one-pass-bf16 matmuls measure ~-51 dB rms vs
-    # float64 truth on chip — below the 60 dB stopband these taps promise.
-    hp = jax.lax.Precision.HIGHEST
-    y_re = (jnp.einsum("...ri,...io->...ro", fr_re, Tm_re,
-                       preferred_element_type=jnp.float32, precision=hp)
-            - jnp.einsum("...ri,...io->...ro", fr_im, Tm_im,
-                         preferred_element_type=jnp.float32, precision=hp))
-    y_im = (jnp.einsum("...ri,...io->...ro", fr_re, Tm_im,
-                       preferred_element_type=jnp.float32, precision=hp)
-            + jnp.einsum("...ri,...io->...ro", fr_im, Tm_re,
-                         preferred_element_type=jnp.float32, precision=hp))
+    # True-f32 accuracy: TPU's default one-pass-bf16 matmuls measure
+    # ~-51 dB rms vs float64 truth on chip — below the 60 dB stopband
+    # these taps promise (_hp_einsum picks the cheapest exact-enough form).
+    y_re = (_hp_einsum("...ri,...io->...ro", fr_re, Tm_re)
+            - _hp_einsum("...ri,...io->...ro", fr_im, Tm_im))
+    y_im = (_hp_einsum("...ri,...io->...ro", fr_re, Tm_im)
+            + _hp_einsum("...ri,...io->...ro", fr_im, Tm_re))
     # Per-tile base rotation e^{+i(phase_w0 + ω r S)}.
     r_idx = jnp.arange(n_rows, dtype=jnp.float32)
     a = jnp.mod(omega * S, TWO_PI)

@@ -71,14 +71,20 @@ def main():
     print(json.dumps({"stage": "chan", "msps": round(n_samp / t / 1e6, 1)}),
           flush=True)
 
-    # 2. + route + frontend
+    # 2. + route + frontend (fused kernel consumes the channel matrix
+    # directly; the XLA path gathers per demod)
+    from cubicsdr_tpu.receiver.frontend import RoutedChannelFrontend
     fe = rx.frontends[0]
+    fused = isinstance(fe, RoutedChannelFrontend)
     def b_route(s, iq):
         sc, sf = s
         sc, chans = rx.channelizer.apply(sc, iq)
-        x = pc_take(chans, chan_idx, axis=-2)
         omega = shift_omegas(freqs, centers[chan_idx], rx.chan_rate)
-        sf, y = fe.apply(sf, (x, omega))
+        if fused:
+            sf, y = fe.apply(sf, (chans, chan_idx, omega))
+        else:
+            x = pc_take(chans, chan_idx, axis=-2)
+            sf, y = fe.apply(sf, (x, omega))
         return (sc, sf), jnp.sum(y.re) + jnp.sum(y.im)
     fn, st = scan(b_route, (rx.channelizer.init_state(), fe.init_state()))
     t = timeit(fn, st, iqs)
@@ -90,9 +96,12 @@ def main():
     def b_kit(s, iq):
         sc, sf, sk = s
         sc, chans = rx.channelizer.apply(sc, iq)
-        x = pc_take(chans, chan_idx, axis=-2)
         omega = shift_omegas(freqs, centers[chan_idx], rx.chan_rate)
-        sf, y = fe.apply(sf, (x, omega))
+        if fused:
+            sf, y = fe.apply(sf, (chans, chan_idx, omega))
+        else:
+            x = pc_take(chans, chan_idx, axis=-2)
+            sf, y = fe.apply(sf, (x, omega))
         sk, ko = kit.apply(sk, y)
         return (sc, sf, sk), jax.tree.reduce(
             lambda a, b: a + b, jax.tree.map(jnp.sum, ko))
