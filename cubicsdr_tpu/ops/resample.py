@@ -348,25 +348,17 @@ def planar_rational_resample(x, rs: RationalResampler):
 
 
 def _hp_einsum(sub: str, a, b):
-    """Signal-path einsum at true-f32 accuracy, priced for the backend.
+    """Signal-path einsum at true-f32 accuracy: Precision.HIGHEST.
 
-    CPU: plain f32 (exact, native). TPU: the MXU's f32 "HIGHEST" costs 6
-    bf16 passes; the hand-split bf16x3 form (hi*hi + hi*lo + lo*hi, the
-    dropped lo*lo term is ~2^-16 relative, -96 dB) halves that. Same trick
-    as the fused kernel's split_bf16 (ops/pallas/route.py)."""
-    if jax.default_backend() != "tpu":
-        return jnp.einsum(sub, a, b, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
-
-    def split(v):
-        v_hi = v.astype(jnp.bfloat16)
-        return v_hi, (v - v_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-
-    a_hi, a_lo = split(a)
-    b_hi, b_lo = split(b)
-    e = lambda u, v: jnp.einsum(sub, u, v,
-                                preferred_element_type=jnp.float32)
-    return e(a_hi, b_hi) + e(a_hi, b_lo) + e(a_lo, b_hi)
+    On CPU that is plain f32; on TPU it is the MXU's 6-pass f32 algorithm.
+    A hand-split bf16x3 variant was A/B'd on the chip and LOST on both
+    axes for these HBM-resident operands (96 vs 107 MS/s at 256 demods,
+    64.8 vs 85.3 dB audio SNR): materializing hi/lo operand copies re-reads
+    the big window tensors from HBM, while HIGHEST splits internally. The
+    split trick only wins inside the Pallas kernel where the operands are
+    already VMEM-resident (ops/pallas/route.py)."""
+    return jnp.einsum(sub, a, b, preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def planar_resample_matmul(x, rs: RationalResampler):
