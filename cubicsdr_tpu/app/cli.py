@@ -271,8 +271,12 @@ def cmd_serve(args):
         DemodulatorMgr, ReceiverPipeline, plan_from_manager,
         controls_from_manager)
 
+    from cubicsdr_tpu.app.config import AppConfig
+    # Persisted app config, loaded at start and saved at exit
+    # (ref: AppConfig ctor load + OnExit save, src/CubicSDR.cpp:215,433).
+    config = AppConfig.load(name=args.config)
     mgr = DemodulatorMgr()
-    center, rate = 100e6, args.rate
+    center, rate = float(config.center_freq or 100e6), args.rate
     if args.session:
         sess = SessionMgr(mgr)
         if not sess.load_session(args.session):
@@ -289,9 +293,20 @@ def cmd_serve(args):
         # Live hardware: "driver=rtlsdr,..." SoapySDR args string. Open the
         # device FIRST — it may renegotiate the rate (ref: SoapySDRThread
         # .cpp:499-513) and the pipeline, channel centers and audio
-        # resampling must all be built from the APPLIED rate.
+        # resampling must all be built from the APPLIED rate. Persisted
+        # DeviceConfig (ppm/AGC/gains/settings) reapplies on open
+        # (ref: src/CubicSDR.cpp:814-841).
         from cubicsdr_tpu.io.soapy import SoapySDRSource
-        src = SoapySDRSource(args.soapy, sample_rate=rate, frequency=center)
+        dc = config.get_device(args.soapy)
+        src = SoapySDRSource(
+            args.soapy, sample_rate=dc.sample_rate or rate,
+            frequency=center, ppm=dc.ppm, agc=dc.agc_mode,
+            iq_swap=bool(dc.settings.get("iq_swap", False)))
+        for gname, gval in dc.gains.items():
+            src.set_gain(gname, gval)
+        for k, v in dc.settings.items():
+            if k != "iq_swap":
+                src.write_setting(k, v)
         rate = src.sample_rate
     specs, keyed = plan_from_manager(mgr)
     rx = ReceiverPipeline(rate, specs, chan_mode=args.channelizer,
@@ -306,15 +321,21 @@ def cmd_serve(args):
                               [Station(200e3, "fm", audio_freq=1000.0),
                                Station(-300e3, "am", audio_freq=600.0)])
     lr = LiveReceiver(rx, controls, src, center_freq=center,
-                      record_path=args.record,
-                      waterfall_fft=args.fft_size)
+                      record_path=args.record or config.recording_path
+                      or None,
+                      waterfall_fft=args.fft_size,
+                      waterfall_lps=float(config.waterfall_lps or 30))
+    try:
+        lr.waterfall.set_theme(config.theme)
+    except Exception:                      # noqa: BLE001 — unknown theme
+        pass
     if args.audio:
         # Host playback of the live mix (RtAudio role,
         # ref: src/audio/AudioThread.cpp:88-243).
         lr.set_audio_output(args.audio)
     viewer = WebViewer(lr, mgr, keyed, host=args.host,
                        port=args.port, device_info=device_info,
-                       source=src).start()
+                       source=src, config=config).start()
     if args.rig:
         from cubicsdr_tpu.app.rig import (RigController, SimulatedRig,
                                           open_hamlib_rig)
@@ -327,6 +348,15 @@ def cmd_serve(args):
         viewer.attach_rig(RigController(rig))
     print(f"serving http://{args.host}:{viewer.port}/  "
           f"(center {format_frequency(center)}, rate {rate:.0f})")
+    # SIGTERM -> the same ordered drain as Ctrl-C (ref: CubicSDR::OnExit
+    # source-first shutdown, src/CubicSDR.cpp:433-528); background shells
+    # ignore SIGINT, so daemons get stopped with TERM.
+    import signal
+
+    def _term(_sig, _frm):
+        raise KeyboardInterrupt
+
+    signal.signal(signal.SIGTERM, _term)
     lr.start_producer()
     try:
         while True:
@@ -338,6 +368,12 @@ def cmd_serve(args):
     finally:
         lr.stop()
         viewer.stop()
+        # Auto-save the config on exit (ref: CubicSDR::OnExit saves
+        # config.xml, src/CubicSDR.cpp:433-443).
+        config.center_freq = int(lr.center_freq)
+        config.theme = lr.waterfall.theme_name
+        config.waterfall_lps = int(lr.dist.lps)
+        config.save(name=args.config)
         print(lr.status())
 
 
@@ -463,6 +499,9 @@ def main(argv=None):
     s.add_argument("--audio", nargs="?", const="auto", default=None,
                    help="play the live mix to a host audio backend "
                         "(auto|sounddevice|wav:<path>|null)")
+    s.add_argument("-c", "--config", default="",
+                   help="named config (ref: CubicSDR -c flag); loaded at "
+                        "start, auto-saved at exit")
     s.add_argument("--channelizer", default="pfbch2",
                    choices=["pfbch", "pfbch2", "single"])
     s.set_defaults(fn=cmd_serve)
