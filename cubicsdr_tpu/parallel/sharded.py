@@ -138,6 +138,13 @@ class ShardedReceiver:
             t = b_k // math.gcd(fe.P, b_k)
             m = math.lcm(m, self.D * fe.Q * t)
 
+        if use_pallas:
+            # Fused-route tile alignment (see ReceiverPipeline
+            # .choose_block_len): best-effort, capped.
+            for fe in self.frontends:
+                cand = math.lcm(m, self.D * fe.Q * 128)
+                if cand <= (1 << 21):
+                    m = cand
         self.local_multiple = m
         if block_len is None:
             per_shard = max(m, ((1 << 17) // m) * m)
@@ -161,6 +168,28 @@ class ShardedReceiver:
         assert len(outs) <= 1, f"audio length mismatch: {outs}"
         self.local_audio_len = outs.pop() if outs else 0
 
+        # Fused route+frontend upgrade (the same Pallas kernel the
+        # single-chip pipeline runs): eligible groups consume the channel
+        # matrix directly inside shard_map — ONE per-channel [M, hist]
+        # halo exchange replaces the per-demod halos. Both the local
+        # (per-'chan'-device) frontend and its global-batch twin switch so
+        # carried-state layouts agree.
+        from cubicsdr_tpu.receiver.frontend import RoutedChannelFrontend
+        self.fused_route = [False] * len(self.groups)
+        if use_pallas:
+            for gi, fe in enumerate(self.frontends):
+                rfe = RoutedChannelFrontend.upgrade(fe, self.M,
+                                                    self.local_chan_len)
+                if rfe is not None:
+                    self.frontends[gi] = rfe
+                    fe_g, kit_g, gate_g = self._init_ops[gi]
+                    self._init_ops[gi] = (
+                        RoutedChannelFrontend(fe_g.channel_rate,
+                                              fe_g.bandwidth, fe_g.bs[0],
+                                              self.M, dtype=fe_g.dtype),
+                        kit_g, gate_g)
+                    self.fused_route[gi] = True
+
     # --- carried state: everything stored with a leading [nt] axis and
     # sharded P('time', ...); replicated leaves (EMAs, phase bases) hold
     # identical values on every time shard by construction. ---
@@ -182,14 +211,26 @@ class ShardedReceiver:
         def spec(tree, s):
             return jax.tree.map(lambda _: s, tree)
         st = self.init_state()
+
+        def fe_spec(gi, fe_c):
+            if not self.fused_route[gi]:
+                return spec(fe_c, P("time", "chan"))
+            # Fused frontend carry: (phase base [count] chan-sharded,
+            # per-CHANNEL tail [M, hist] replicated over 'chan', rest
+            # per-demod carries chan-sharded).
+            base_c, hist_c, rest_c = fe_c
+            return (spec(base_c, P("time", "chan")),
+                    spec(hist_c, P("time")),
+                    spec(rest_c, P("time", "chan")))
+
         return {
             "chan": spec(st["chan"], P("time")),
             "dc": spec(st["dc"], P("time")),
             "groups": tuple(
-                (spec(fe_c, P("time", "chan")),
+                (fe_spec(gi, fe_c),
                  spec(kit_c, P("time", "chan")),
                  spec(gate_c, P("time", "chan")))
-                for fe_c, kit_c, gate_c in st["groups"]),
+                for gi, (fe_c, kit_c, gate_c) in enumerate(st["groups"])),
         }
 
     def control_template(self):
@@ -252,9 +293,14 @@ class ShardedReceiver:
             freqs = jnp.asarray(ctl["frequency"], jnp.float32)
             dist = jnp.abs(freqs[:, None] - centers[None, :])
             ci = jnp.argmin(dist, axis=-1)
-            x = pc_take(chans, ci, axis=-2)              # [n_local, Lc]
             omega = shift_omegas(freqs, centers[ci], self.chan_rate)
-            c_fe, y = fe.shard_apply(c_fe, (x, omega), "time")
+            if self.fused_route[gi]:
+                # Fused kernel: routing happens in VMEM, no per-demod
+                # gather or halo.
+                c_fe, y = fe.shard_apply(c_fe, (chans, ci, omega), "time")
+            else:
+                x = pc_take(chans, ci, axis=-2)          # [n_local, Lc]
+                c_fe, y = fe.shard_apply(c_fe, (x, omega), "time")
             c_kit, ko = kit.shard_apply(c_kit, y, "time")
             if self.is_digital[gi]:
                 s_gate, gout = gate.apply(

@@ -228,6 +228,41 @@ class RoutedChannelFrontend(ChannelFrontend):
             new_rest.append(st_i)
         return (new_phase, new_hist, tuple(new_rest)), y
 
+    # --- time-sharding: ONE per-channel halo exchange ([M, hist] tail)
+    # replaces the per-demod halos; NCO phase closed-form as in the folded
+    # path. Runs the Pallas kernel per device inside shard_map. ---
+    def shard_carries(self):
+        from cubicsdr_tpu.ops.planar import dtype_zeros
+        return (self.nco.init_state(),
+                dtype_zeros((self.M, self._stage1.hist_len), PLANAR),
+                tuple(s.shard_carry_init() for s in self._rest))
+
+    def shard_apply(self, carries, inputs, axis):
+        from cubicsdr_tpu.ops.pallas.route import (
+            routed_shifted_resample_pallas)
+        from cubicsdr_tpu.parallel.halo import streaming_halo
+        chans, chan_idx, omega = inputs
+        base, c1, c_rest = carries
+        omega = jnp.asarray(omega, jnp.float32)
+        L = chans.shape[-1]
+        t = jnp.asarray(jax.lax.axis_index(axis), jnp.float32)
+        n_t = jnp.float32(jax.lax.psum(1, axis))
+        phase0 = jnp.mod(base + omega * (t * L), TWO_PI)
+        rs = self._stage1
+        z, new_c1 = streaming_halo(chans, rs.hist_len, c1, axis)
+        phase_w0 = jnp.mod(phase0 + omega * (rs.Q - rs.KK), TWO_PI)
+        out = routed_shifted_resample_pallas(
+            z.re, z.im, jnp.asarray(chan_idx, jnp.int32), omega, phase_w0,
+            rs)
+        assert out is not None, "upgrade() guaranteed a fused tile"
+        y = PC(*out)
+        new_base = jnp.mod(base + omega * (n_t * L), TWO_PI)
+        new_rest = []
+        for s_i, st_i in zip(self._rest, c_rest):
+            st_i, y = _shard_tail_stage(s_i, st_i, y, axis)
+            new_rest.append(st_i)
+        return (new_base, new_c1, tuple(new_rest)), y
+
 
 def _shard_tail_stage(op, carry, x, axis):
     from cubicsdr_tpu.parallel.shardable import shard_stage

@@ -170,6 +170,15 @@ class ReceiverPipeline(StreamOp):
             m = self.M
         for gi in range(len(self.groups)):
             m = math.lcm(m, self.group_block_multiple(gi))
+        if self.use_pallas:
+            # Best-effort 128-step alignment so the Pallas channelizer
+            # tiles cleanly and the fused-route tile constraint
+            # (S = (O/P)*Q | 128) holds — capped so pathological Q
+            # (very narrow bandwidths) can't explode the block size.
+            for fe in self.frontends:
+                cand = math.lcm(m, self._decim * fe.Q * 128)
+                if cand <= (1 << 21):
+                    m = cand
         n = int(self.sample_rate / target_batches_per_sec)
         return max(((n + m - 1) // m) * m, m)
 

@@ -137,3 +137,50 @@ def test_fused_route_retune_mid_stream(interp, rng):
     a1 = np.asarray(out1["groups"][0]["audio"][2])
     a2 = np.asarray(out2["groups"][0]["audio"][2])
     assert not np.allclose(a1, a2)       # it actually moved
+
+
+def test_sharded_fused_route_matches_unsharded(interp):
+    """ShardedReceiver(use_pallas=True) rides the SAME fused kernel: one
+    per-channel [M, hist] halo exchange replaces the per-demod halos, and
+    the sharded farm still equals the unsharded pipeline."""
+    from cubicsdr_tpu.ops.planar import from_complex
+    from cubicsdr_tpu.parallel import make_receiver_mesh
+    from cubicsdr_tpu.parallel.sharded import ShardedReceiver
+
+    fs = 8_000_000
+    mesh = make_receiver_mesh(n_time=4, n_chan=2,
+                              devices=jax.devices()[:8])
+    groups = [DemodGroupSpec("FM", 200000, 4)]
+    rx = ShardedReceiver(fs, num_channels=16, groups=groups, mesh=mesh,
+                         use_pallas=True)
+    assert rx.fused_route == [True]
+    pipe = ReceiverPipeline(fs, groups, chan_mode="pfbch2",
+                            num_channels=16, dtype=PLANAR,
+                            block_len=rx.block_len)
+    controls = rx.control_template()
+    freqs = np.asarray([-1480e3, -480e3, 520e3, 1520e3], np.float32)
+    controls[0]["frequency"] = freqs
+
+    t = np.arange(2 * rx.block_len) / fs
+    iq_all = np.zeros(2 * rx.block_len, np.complex64)
+    for k, f0 in enumerate(freqs):
+        msg = np.sin(2 * np.pi * (700.0 + 90.0 * k) * t)
+        iq_all = iq_all + (0.5 * np.exp(
+            1j * (2 * np.pi * f0 * t
+                  + 2 * np.pi * 75e3 * np.cumsum(msg) / fs))
+        ).astype(np.complex64)
+
+    step_s = rx.make_step()
+    step_p = jax.jit(pipe.apply)
+    st_s = rx.place_state(rx.init_state())
+    st_p = pipe.init_state()
+    for b in range(2):
+        blk = iq_all[b * rx.block_len:(b + 1) * rx.block_len]
+        st_s, out_s = step_s(st_s, rx.shard_iq(blk), controls)
+        st_p, out_p = step_p(st_p, (from_complex(blk), controls))
+        d = np.abs(np.asarray(out_s["mix"]) - np.asarray(out_p["mix"]))
+        assert np.sqrt(np.mean(d * d)) < 3e-3
+        assert np.quantile(d, 0.995) < 8e-3
+        np.testing.assert_allclose(np.asarray(out_s["groups"][0]["level"]),
+                                   np.asarray(out_p["groups"][0]["level"]),
+                                   atol=0.05)
