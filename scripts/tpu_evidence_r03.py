@@ -78,9 +78,9 @@ def bench_pipeline(n_demods: int, tag: str, use_pallas=None, K=8):
     return msps
 
 
-def sharded_vs_unsharded(K=8, block_len=None):
-    """n=1 mesh ShardedReceiver vs the plain pipeline at the SAME config,
-    both no-Pallas so the delta is pure shard_map/collective overhead."""
+def sharded_vs_unsharded(K=8, block_len=None, use_pallas=False):
+    """n=1 mesh ShardedReceiver vs the plain pipeline at the SAME config
+    and Pallas setting — the delta is pure shard_map/collective overhead."""
     import jax
     import jax.numpy as jnp
     from cubicsdr_tpu.ops.planar import PC
@@ -93,7 +93,7 @@ def sharded_vs_unsharded(K=8, block_len=None):
     mesh = make_receiver_mesh(n_time=1, n_chan=1,
                               devices=jax.devices()[:1])
     srx = ShardedReceiver(fs, num_channels=16, groups=groups, mesh=mesh,
-                          block_len=block_len)
+                          block_len=block_len, use_pallas=use_pallas)
     controls = srx.control_template()
     controls[0]["frequency"][:] = np.asarray(
         [((i % 16) - 8) * 500e3 + 20e3 for i in range(16)], np.float32)
@@ -123,12 +123,12 @@ def sharded_vs_unsharded(K=8, block_len=None):
     msps_sharded = timed(sstep, srx.place_state(srx.init_state()), iqs_sh,
                          K * srx.block_len)
     print(json.dumps({"tag": "sharded_n1_steady", "msps_per_chip":
-                      round(msps_sharded, 2), "block_len": srx.block_len}),
-          flush=True)
+                      round(msps_sharded, 2), "block_len": srx.block_len,
+                      "fused": srx.fused_route}), flush=True)
 
     # --- unsharded, same block_len, no pallas ---
     from cubicsdr_tpu.ops.planar import PLANAR
-    rx = ReceiverPipeline(fs, groups, dtype=PLANAR, use_pallas=False,
+    rx = ReceiverPipeline(fs, groups, dtype=PLANAR, use_pallas=use_pallas,
                           block_len=srx.block_len)
     c2 = rx.control_template()
     c2[0]["frequency"] = controls[0]["frequency"]
@@ -216,6 +216,7 @@ if __name__ == "__main__":
     ap.add_argument("--only", choices=["all", "bench", "sharded", "check"],
                     default="all")
     ap.add_argument("--sharded-block", type=int, default=None)
+    ap.add_argument("--sharded-pallas", action="store_true")
     args = ap.parse_args()
     import jax
     print(json.dumps({"tag": "env",
@@ -228,7 +229,8 @@ if __name__ == "__main__":
         bench_pipeline(256, "bench_demod256")
     if args.only in ("all", "sharded"):
         try:
-            sharded_vs_unsharded(block_len=args.sharded_block)
+            sharded_vs_unsharded(block_len=args.sharded_block,
+                                 use_pallas=args.sharded_pallas)
         except Exception as e:          # noqa: BLE001
             print(json.dumps({"tag": "sharded_error", "err": repr(e)}),
                   flush=True)
