@@ -25,6 +25,14 @@ import numpy as np
 from cubicsdr_tpu.ops.planar import PLANAR, from_complex
 
 
+def _pallas_default() -> bool:
+    """Fused Pallas kernels on real accelerators; XLA path on CPU (the
+    Mosaic kernels don't lower to the CPU backend outside the
+    interpreter)."""
+    import jax
+    return any(d.platform != "cpu" for d in jax.devices())
+
+
 def parse_frequency(s) -> float:
     """'100.1' (MHz if small), '100.1M', '98700k', '2.4G', else Hz
     (ref: CubicSDR::strToFrequency semantics)."""
@@ -148,7 +156,8 @@ def cmd_rx(args):
     if args.mesh:
         return _rx_sharded(args, mgr, sess, specs, keyed)
     rx = ReceiverPipeline(sess.sample_rate, specs,
-                          chan_mode=args.channelizer, dtype=PLANAR)
+                          chan_mode=args.channelizer, dtype=PLANAR,
+                          use_pallas=_pallas_default())
     controls = controls_from_manager(mgr, rx, keyed, sess.center_freq)
     src = FileIQSource(args.input, sess.sample_rate, rx.block_len)
     step = jax.jit(rx.apply)
@@ -201,7 +210,8 @@ def _rx_sharded(args, mgr, sess, specs, keyed):
     rx = ShardedReceiver(sess.sample_rate,
                          num_channels=optimal_channel_count(
                              sess.sample_rate),
-                         groups=specs, mesh=mesh, spectrum_fft=fft)
+                         groups=specs, mesh=mesh, spectrum_fft=fft,
+                         use_pallas=_pallas_default())
     controls = controls_from_manager(mgr, rx, keyed, sess.center_freq)
     state = rx.init_state()
     if args.checkpoint and os.path.exists(args.checkpoint):
@@ -310,7 +320,7 @@ def cmd_serve(args):
         rate = src.sample_rate
     specs, keyed = plan_from_manager(mgr)
     rx = ReceiverPipeline(rate, specs, chan_mode=args.channelizer,
-                          dtype=PLANAR)
+                          dtype=PLANAR, use_pallas=_pallas_default())
     controls = controls_from_manager(mgr, rx, keyed, center)
     if src is not None:
         src.set_block_len(rx.block_len)
