@@ -79,7 +79,7 @@ def cmd_demod(args):
         d.squelch_level = args.squelch
     specs, keyed = plan_from_manager(mgr)
     rx = ReceiverPipeline(args.rate, specs, chan_mode=args.channelizer,
-                          dtype=PLANAR)
+                          dtype=PLANAR, use_pallas=_pallas_default())
     controls = controls_from_manager(mgr, rx, keyed, center)
     src = FileIQSource(args.input, args.rate, rx.block_len,
                        frequency=center)
