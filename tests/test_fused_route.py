@@ -184,3 +184,51 @@ def test_sharded_fused_route_matches_unsharded(interp):
         np.testing.assert_allclose(np.asarray(out_s["groups"][0]["level"]),
                                    np.asarray(out_p["groups"][0]["level"]),
                                    atol=0.05)
+
+
+def test_plan_rebuild_carry_with_fused_frontend(interp, rng):
+    """The rebuild state-carry must treat the fused frontend's per-CHANNEL
+    tail ([M, hist], channel-indexed) as a verbatim carry while still
+    porting per-demod rows — even when M equals a demod count."""
+    from cubicsdr_tpu.app.webview import _carry_streaming_state
+    from cubicsdr_tpu.receiver import DemodulatorMgr, plan_from_manager
+
+    fs = 8_000_000
+    mgr = DemodulatorMgr()
+    d0 = mgr.new_demodulator(100e6 + 20e3, "FM", 200000)
+    d1 = mgr.new_demodulator(100e6 + 520e3, "FM", 200000)
+    specs, keyed_old = plan_from_manager(mgr)
+    rx_old = ReceiverPipeline(fs, specs, dtype=PLANAR, use_pallas=True)
+    assert rx_old.fused_route == [True]
+    st_old = rx_old.init_state()
+
+    # Stream one block so states carry real values.
+    L = rx_old.block_len
+    blk = rng.standard_normal((2, L)).astype(np.float32)
+    from cubicsdr_tpu.receiver import controls_from_manager
+    ctl = controls_from_manager(mgr, rx_old, keyed_old, 100e6)
+    st_old, _ = rx_old.apply(st_old, (PC(jnp.asarray(blk[0]),
+                                         jnp.asarray(blk[1])), ctl))
+
+    # Add a third demod to the SAME group -> new plan, counts 2 -> 3.
+    mgr.new_demodulator(100e6 - 480e3, "FM", 200000)
+    specs, keyed_new = plan_from_manager(mgr)
+    rx_new = ReceiverPipeline(fs, specs, dtype=PLANAR, use_pallas=True,
+                              block_len=rx_old.block_len)
+    st_new = _carry_streaming_state(rx_old, st_old, keyed_old,
+                                    rx_new, keyed_new,
+                                    rx_new.init_state())
+    phase_o, hist_o, _ = st_old["groups"][0][0]   # frontend state
+    phase_n, hist_n, _ = st_new["groups"][0][0]
+    # Channel tail [M, hist]: carried VERBATIM (channel-indexed).
+    np.testing.assert_array_equal(np.asarray(hist_n.re),
+                                  np.asarray(hist_o.re))
+    # Per-demod phases: surviving rows ported, the new row cold (0).
+    np.testing.assert_array_equal(np.asarray(phase_n)[:2],
+                                  np.asarray(phase_o))
+    assert float(np.asarray(phase_n)[2]) == 0.0
+    # And the rebuilt plan still runs.
+    ctl2 = controls_from_manager(mgr, rx_new, keyed_new, 100e6)
+    _, out = rx_new.apply(st_new, (PC(jnp.asarray(blk[0]),
+                                      jnp.asarray(blk[1])), ctl2))
+    assert np.isfinite(np.asarray(out["mix"])).all()
