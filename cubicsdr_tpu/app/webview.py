@@ -273,15 +273,20 @@ def _carry_streaming_state(old_rx, old_state, old_keyed, new_rx, new_keyed,
         for ri, d in enumerate(demods):
             old_pos[id(d)] = (key, gi, ri)
 
-    def port_rows(new_leaf, old_leaf, pairs, n_new, n_old):
+    def port_rows(new_leaf, old_leaf, row_leaf, pairs, n_new, n_old):
         if not hasattr(new_leaf, "shape") or new_leaf.ndim == 0:
             return new_leaf
-        per_demod = (new_leaf.shape[0] == n_new
+        # ``row_leaf`` comes from pipeline.group_state_row_mask: a
+        # structural tag, not a shape heuristic — a fused frontend's
+        # per-CHANNEL [M, hist] tail stays tagged shared even when a
+        # group's demod count happens to equal the channel count.
+        per_demod = (row_leaf
+                     and new_leaf.shape[0] == n_new
                      and np.shape(old_leaf)[0] == n_old
                      and new_leaf.shape[1:] == np.shape(old_leaf)[1:])
         if not per_demod:
-            # Channel-indexed leaf (fused-route per-channel tails): same
-            # shape carries verbatim, otherwise keep the cold init.
+            # Shared leaf (channel tails etc.): same shape carries
+            # verbatim, otherwise keep the cold init.
             return old_leaf if new_leaf.shape == np.shape(old_leaf) \
                 else new_leaf
         buf = np.array(new_leaf)
@@ -303,9 +308,10 @@ def _carry_streaming_state(old_rx, old_state, old_keyed, new_rx, new_keyed,
         n_old = len(list(old_keyed.values())[old_gi])
         try:
             groups[gi] = jax.tree.map(
-                lambda nl, ol: port_rows(nl, ol, pairs, len(demods),
-                                         n_old),
-                new_state["groups"][gi], old_state["groups"][old_gi])
+                lambda nl, ol, rm: port_rows(nl, ol, rm, pairs,
+                                             len(demods), n_old),
+                new_state["groups"][gi], old_state["groups"][old_gi],
+                new_rx.group_state_row_mask(gi))
         except ValueError:
             continue                       # structure changed: start cold
     new_state["groups"] = tuple(groups)
@@ -670,8 +676,9 @@ class WebViewer:
                     "settings": dict(dc.settings),
                     "stream_opts": dict(dc.stream_opts)}
             devs.append(e)
+        p = self.receiver._producer
         return {"current": cur,
-                "running": self.receiver._producer is not None,
+                "running": p is not None and p.is_alive(),
                 "devices": devs,
                 "remotes": list(self.enumerator.remotes),
                 "manuals": list(self.enumerator.manuals)}
@@ -732,8 +739,8 @@ class WebViewer:
             r.stop_producer()
             return {"ok": True, "running": False}
         if op == "start":
-            if r._producer is None:
-                r.start_producer()
+            if r._producer is None or not r._producer.is_alive():
+                r.start_producer()       # source.__iter__ clears stop latch
             return {"ok": True, "running": True}
         if op != "select":
             return {"ok": False, "error": f"unknown device op {op}"}

@@ -146,6 +146,13 @@ class SoapySDRSource:
     def stop(self):
         self._stopping.set()
 
+    def restart(self):
+        """Re-arm a stopped source so a new iteration streams again (the
+        device-picker stop→start verb, ref: CubicSDR::setDevice restart,
+        src/CubicSDR.cpp:797-855). The stream stays set up across stop();
+        only the stop latch needs clearing."""
+        self._stopping.clear()
+
     # ---- device side (read thread) ----------------------------------------
     def _apply_settings(self, first: bool = False):
         """The updateSettings analog: drain staged changes onto the device
@@ -230,6 +237,12 @@ class SoapySDRSource:
         return out
 
     def __iter__(self):
+        # A fresh iteration clears a previous stop() latch so the webview's
+        # device stop→start verb resumes streaming; an in-flight stop()
+        # racing this clear only loses the latch for the OLD iteration,
+        # whose producer thread is already retired by its generation guard
+        # (app/runner.py _produce gen check).
+        self._stopping.clear()
         while not self._stopping.is_set():
             blk = self._read_block()
             if blk.shape[-1] == 0:

@@ -85,6 +85,14 @@ class ChannelFrontend(StreamOp):
                     tuple(s.init_state() for s in self._rest))
         return (self.nco.init_state(), self.resampler.init_state())
 
+    def state_row_mask(self):
+        """Pytree matching ``init_state()``: True where a leaf's leading
+        dim is the per-DEMOD row axis (carried row-wise across plan
+        rebuilds by the control plane), False for shared leaves (carried
+        verbatim only on exact shape match). Every leaf of the batched
+        frontend is per-demod."""
+        return jax.tree.map(lambda _: True, self.init_state())
+
     def _folded_core(self, z, omega, phase0):
         """Folded mix+resample on a hist-prefixed RAW stream ``z``; phase0
         is the phase at the first FRESH sample (z[hist_len]). Falls back to
@@ -205,6 +213,13 @@ class RoutedChannelFrontend(ChannelFrontend):
         return (self.nco.init_state(),                 # per-demod phase
                 dtype_zeros((self.M, self._stage1.hist_len), PLANAR),
                 tuple(s.init_state() for s in self._rest))
+
+    def state_row_mask(self):
+        """The raw tail is per-CHANNEL ([M, hist]) — NOT a per-demod row
+        leaf, even when a group happens to have exactly M demods (the
+        shape-only heuristic this replaces misfiled it)."""
+        mask = jax.tree.map(lambda _: True, self.init_state())
+        return (mask[0], jax.tree.map(lambda _: False, mask[1]), mask[2])
 
     def apply(self, state, inputs):
         from cubicsdr_tpu.ops.pallas.route import (

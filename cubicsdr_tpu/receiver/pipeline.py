@@ -229,6 +229,18 @@ class ReceiverPipeline(StreamOp):
                 zip(self.frontends, self.kits, self.gates)),
         }
 
+    def group_state_row_mask(self, gi: int):
+        """Bool pytree matching ``init_state()["groups"][gi]``: True on
+        leaves whose leading dim is the per-demod ROW axis (portable
+        row-wise across plan rebuilds), False on shared/per-channel leaves
+        (e.g. the fused RoutedChannelFrontend's [M, hist] channel tail).
+        Kit and squelch-gate state is per-demod throughout."""
+        import jax
+        fe, kit, gate = self.frontends[gi], self.kits[gi], self.gates[gi]
+        return (fe.state_row_mask(),
+                jax.tree.map(lambda _: True, kit.init_state()),
+                jax.tree.map(lambda _: True, gate.init_state()))
+
     # --- control vector layout: per-demod traced params, grouped ---
     def control_template(self):
         """Per-group dict arrays the caller fills each step (all traced)."""

@@ -232,3 +232,55 @@ def test_plan_rebuild_carry_with_fused_frontend(interp, rng):
     _, out = rx_new.apply(st_new, (PC(jnp.asarray(blk[0]),
                                       jnp.asarray(blk[1])), ctl2))
     assert np.isfinite(np.asarray(out["mix"])).all()
+
+
+def test_carry_channel_tail_not_permuted_when_rows_equal_channels(rng):
+    """Regression (round-3 advisor): with a fused frontend whose group has
+    exactly M demods (M = channel count), a demod swap that reorders rows
+    must NOT permute the per-CHANNEL [M, hist] tail — it is channel-indexed
+    and carries verbatim (pipeline.group_state_row_mask tags it shared)."""
+    from cubicsdr_tpu.app.webview import _carry_streaming_state
+    from cubicsdr_tpu.receiver import (DemodulatorMgr, plan_from_manager)
+
+    fs = 8_000_000                      # 16 channels @ 500 kHz spacing
+    mgr = DemodulatorMgr()
+    demods = [mgr.new_demodulator(100e6 + (i - 8) * 500e3 + 20e3,
+                                  "FM", 200000) for i in range(16)]
+    specs, keyed_old = plan_from_manager(mgr)
+    rx_old = ReceiverPipeline(fs, specs, dtype=PLANAR, use_pallas=True)
+    assert rx_old.fused_route == [True] and rx_old.M == 16
+    assert len(list(keyed_old.values())[0]) == 16   # rows == channels
+
+    # Fabricate distinguishable streaming state (no kernel run needed:
+    # the carry logic is pure host bookkeeping).
+    leaves, treedef = jax.tree.flatten(rx_old.init_state())
+    st_old = jax.tree.unflatten(treedef, [
+        jnp.asarray(rng.standard_normal(np.shape(x)).astype(
+            np.asarray(x).dtype)) if np.asarray(x).dtype.kind == "f" else x
+        for x in leaves])
+    hist_o = st_old["groups"][0][0][1]
+    phase_o = st_old["groups"][0][0][0]
+
+    # Swap one demod: remove row 0, add a new station -> still 16 rows,
+    # survivors shift up one row.
+    mgr.delete_demodulator(demods[0])
+    mgr.new_demodulator(100e6 + 7 * 500e3 + 120e3, "FM", 200000)
+    specs, keyed_new = plan_from_manager(mgr)
+    rx_new = ReceiverPipeline(fs, specs, dtype=PLANAR, use_pallas=True,
+                              block_len=rx_old.block_len)
+    st_new = _carry_streaming_state(rx_old, st_old, keyed_old,
+                                    rx_new, keyed_new, rx_new.init_state())
+    phase_n, hist_n, _ = st_new["groups"][0][0]
+    # Channel tail: VERBATIM, not row-permuted.
+    np.testing.assert_array_equal(np.asarray(hist_n.re),
+                                  np.asarray(hist_o.re))
+    np.testing.assert_array_equal(np.asarray(hist_n.im),
+                                  np.asarray(hist_o.im))
+    # Per-demod phase rows: survivors ported to their new rows.
+    new_rows = list(keyed_new.values())[0]
+    old_rows = list(keyed_old.values())[0]
+    for nr, d in enumerate(new_rows):
+        if d in old_rows:
+            np.testing.assert_array_equal(
+                np.asarray(phase_n)[nr],
+                np.asarray(phase_o)[old_rows.index(d)])

@@ -187,3 +187,23 @@ def test_blocking_read_yields_partial_then_continues():
     it = iter(src)
     blk = next(it)
     assert blk.shape == (2, 2000)        # partial block, not a hang
+
+
+def test_stop_then_restart_streams_again():
+    """Round-3 advisor (medium): stop() latched the source dead forever —
+    a device-picker stop -> start left a producer that exited instantly.
+    A fresh iteration clears the latch (restart path)."""
+    src = _make(block_len=2_048)
+    it = iter(src)
+    b0 = next(it)
+    assert b0.shape == (2, 2_048)
+    src.stop()
+    # The stopped iteration ends (drops any truncated tail).
+    assert list(it) == []
+    # A NEW iteration streams again — continuing the device sample counter.
+    it2 = iter(src)
+    b1 = next(it2)
+    assert b1.shape == (2, 2_048)
+    assert b1[0, 0] > b0[0, -1]          # stream continued, not reset
+    src.restart()                        # explicit re-arm is also fine
+    assert next(iter(src)).shape == (2, 2_048)

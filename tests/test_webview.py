@@ -451,6 +451,44 @@ def test_device_stop_start(hx):
     assert json.loads(_get(hx.port, "/api/devices"))["running"]
 
 
+def test_device_stop_start_soapy_source(hx):
+    """Round-3 advisor (medium): stop -> start on a SoapySDR source (whose
+    stop() latches an event) must actually resume streaming, not leave a
+    dead producer reported as running."""
+    import time
+    from tests.test_soapy import _MockModule
+    hx.viewer.soapy_module = _MockModule
+    assert _post(hx.port, "/api/devices",
+                 {"op": "set_manuals",
+                  "manuals": [{"driver": "mock", "label": "Mock SDR",
+                               "args": "soapy=0"}]})["ok"]
+    r = _post(hx.port, "/api/devices",
+              {"op": "select", "device_id": "manual=mock",
+               "rate": 2_000_000})
+    assert r["ok"], r
+    hx.run(2)
+
+    assert _post(hx.port, "/api/devices", {"op": "stop"})["ok"]
+    assert not json.loads(_get(hx.port, "/api/devices"))["running"]
+    k_stop = hx.viewer.source.device.k          # device sample counter
+
+    assert _post(hx.port, "/api/devices", {"op": "start"})["ok"]
+    # The restarted producer must actually READ (the latched-stop bug left
+    # a dead thread while reporting running=true).
+    deadline = time.time() + 5.0
+    while hx.viewer.source.device.k <= k_stop and time.time() < deadline:
+        time.sleep(0.01)
+    assert hx.viewer.source.device.k > k_stop
+    assert json.loads(_get(hx.port, "/api/devices"))["running"]
+    hx.run(2)                                   # blocks flow end-to-end
+
+    # Back to synthetic for the remaining module tests.
+    r = _post(hx.port, "/api/devices",
+              {"op": "select", "device_id": "synthetic=0", "rate": FS})
+    assert r["ok"]
+    hx.run(2)
+
+
 def test_device_select_soapy_and_back_mid_session(hx):
     """Runtime device switching (ref: SDRDevices dialog -> CubicSDR::
     setDevice, src/CubicSDR.cpp:797-855): swap synthetic -> mock SoapySDR
