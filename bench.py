@@ -1,17 +1,31 @@
 """Single-chip throughput benchmark: IQ Msamples/s through the full
 channelize + demod chain (BASELINE.json metric of record).
 
-Config #4 of BASELINE.json: 16-channel polyphase channelizer + 16-demod FM
-farm on one chip. This drives the SAME class the application runs —
-ReceiverPipeline(dtype=PLANAR) with squelch, control vectors, and the audio
-mixer in the graph (the tunneled TPU backend has no complex64; planar f32
-is also the faster TPU-native representation).
+Three configs, one JSON line each (the driver records all of them):
+
+  demod16   — config #4 of BASELINE.json: 16-channel polyphase channelizer
+              + 16-demod FM farm, device-resident IQ, K-block lax.scan.
+  demod256  — the NORTH-STAR shape: 256 FM demods over the same 16
+              channels (1 GS/s aggregate / 16 chips => 62.5 MS/s/chip
+              quota carries 16 stations per channel).
+  live16    — the LIVE APPLICATION loop on the 16-demod config:
+              host-resident IQ through the native sample ring, producer
+              thread, jnp.asarray host->device puts, the donated compiled
+              step with one block of dispatch lookahead, and the real
+              fanout (waterfall visual program + audio tap) — the number
+              a user actually gets from `cubicsdr rx` (SURVEY §7 names the
+              host->device feed as the expected bound at scale).
+
+All three drive the SAME class the application runs —
+ReceiverPipeline(dtype=PLANAR) with squelch, control vectors, and the
+audio mixer in the graph (the tunneled TPU backend has no complex64;
+planar f32 is also the faster TPU-native representation).
 
 Baseline for vs_baseline: the north-star 1 GS/s aggregate on a 16-chip
 v5p-16 => 62.5 MS/s per chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Flags: --demods N (default 16), --block L, --no-pallas.
+Flags: --only {demod16,demod256,live16} (repeatable; default: all),
+--demods N (extra custom config), --block L, --no-pallas.
 """
 
 import argparse
@@ -54,22 +68,29 @@ def build_pipeline(n_demods: int = 16, block_len: int | None = None,
     return rx, controls
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--demods", type=int, default=16)
-    ap.add_argument("--block", type=int, default=None)
-    ap.add_argument("--no-pallas", action="store_true")
-    args = ap.parse_args()
+BASELINE_PER_CHIP = 1000.0 / 16.0           # MS/s (north star / 16 chips)
 
+
+def _emit(metric: str, msps: float, extra: dict | None = None):
+    row = {"metric": metric, "value": round(msps, 2),
+           "unit": "Msamples/s",
+           "vs_baseline": round(msps / BASELINE_PER_CHIP, 3)}
+    if extra:
+        row.update(extra)
+    print(json.dumps(row), flush=True)
+
+
+def bench_scan(n_demods: int, block_len=None, use_pallas=None,
+               label: str | None = None):
+    """Device-resident throughput: IQ staged on device once, K blocks per
+    dispatch via lax.scan (amortizes host round-trips)."""
     import jax
     import jax.numpy as jnp
     from cubicsdr_tpu.ops.planar import PC
 
-    rx, controls = build_pipeline(
-        args.demods, args.block, False if args.no_pallas else None)
-
+    rx, controls = build_pipeline(n_demods, block_len, use_pallas)
     rng = np.random.default_rng(0)
-    K = 8      # blocks per dispatch (lax.scan) — amortizes host round-trips
+    K = 8
     iqs = PC(jnp.asarray(rng.standard_normal((K, rx.block_len))
                          .astype(np.float32)),
              jnp.asarray(rng.standard_normal((K, rx.block_len))
@@ -97,13 +118,91 @@ def main():
     dt = time.perf_counter() - t0
 
     msps = K * rx.block_len * n_iters / dt / 1e6
-    baseline_per_chip = 1000.0 / 16.0       # MS/s
-    print(json.dumps({
-        "metric": "iq_msamples_per_sec_per_chip_channelize_demod16",
-        "value": round(msps, 2),
-        "unit": "Msamples/s",
-        "vs_baseline": round(msps / baseline_per_chip, 3),
-    }))
+    _emit(label or f"iq_msamples_per_sec_per_chip_channelize_demod"
+          f"{n_demods}", msps)
+    return msps
+
+
+def bench_live(n_demods: int = 16, n_blocks: int = 240,
+               block_len=None, use_pallas=None):
+    """The LIVE path: host numpy blocks -> native SampleRing (producer
+    thread) -> LiveReceiver.run_blocks (donated step + lookahead fanout:
+    waterfall visual program, audio mix tap). Measures sustained MS/s and
+    reports ring drops — the number `cubicsdr rx` delivers."""
+    from cubicsdr_tpu.app.runner import LiveReceiver
+
+    rx, controls = build_pipeline(n_demods, block_len, use_pallas)
+    L = rx.block_len
+    rng = np.random.default_rng(1)
+    # Pre-generated host blocks, cycled: the producer measures the ring +
+    # transfer path, not numpy RNG throughput.
+    blocks = [np.ascontiguousarray(
+        rng.standard_normal((2, L)).astype(np.float32)) for _ in range(4)]
+
+    class _CycleSource:
+        """Unthrottled host source with back-pressure: waits for ring
+        space instead of shedding, so measured throughput is the live
+        loop's capability and drops stay a real health signal."""
+
+        def __init__(self):
+            self.stop_flag = False
+            self.ring = None                 # late-bound (the lr's ring)
+
+        def __iter__(self):
+            i = 0
+            while not self.stop_flag:
+                while (self.ring is not None
+                       and self.ring.fill + L > self.ring.capacity
+                       and not self.stop_flag):
+                    time.sleep(0.0002)
+                yield blocks[i % len(blocks)]
+                i += 1
+
+        def stop(self):
+            self.stop_flag = True
+
+    src = _CycleSource()
+    lr = LiveReceiver(rx, controls, src, waterfall_fft=1024,
+                      waterfall_lines=64, ring_seconds=1.0)
+    src.ring = lr.ring
+    lr.start_producer()
+    lr.run_blocks(max_blocks=8)              # warm-up / compile
+    lr.metrics = type(lr.metrics)()          # reset counters for the run
+    t0 = time.perf_counter()
+    n = lr.run_blocks(max_blocks=n_blocks)
+    dt = time.perf_counter() - t0
+    snap = lr.metrics.snapshot() if hasattr(lr.metrics, "snapshot") else {}
+    lr.stop()
+    msps = n * L / dt / 1e6
+    drops = int(snap.get("ingest", {}).get("dropped", 0))
+    _emit(f"iq_msamples_per_sec_per_chip_live_loop_demod{n_demods}", msps,
+          {"blocks": n, "ring_dropped_samples": drops})
+    return msps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", action="append",
+                    choices=["demod16", "demod256", "live16"],
+                    help="run a subset (default: all three)")
+    ap.add_argument("--demods", type=int, default=None,
+                    help="extra custom scan config with N demods")
+    ap.add_argument("--block", type=int, default=None)
+    ap.add_argument("--no-pallas", action="store_true")
+    ap.add_argument("--live-blocks", type=int, default=240)
+    args = ap.parse_args()
+
+    up = False if args.no_pallas else None
+    configs = args.only or ["demod16", "demod256", "live16"]
+    if args.demods is not None:
+        bench_scan(args.demods, args.block, up)
+        return
+    if "demod16" in configs:
+        bench_scan(16, args.block, up)
+    if "demod256" in configs:
+        bench_scan(256, args.block, up)
+    if "live16" in configs:
+        bench_live(16, args.live_blocks, args.block, up)
 
 
 if __name__ == "__main__":

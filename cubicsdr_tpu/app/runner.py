@@ -52,7 +52,10 @@ class LiveReceiver:
         self.controls = controls
         self.source = source
         self.center_freq = center_freq
-        self.step = jax.jit(pipeline.apply)
+        # Donate the streaming state: the live loop's state buffers recycle
+        # in place instead of allocating per block (the ReBuffer recycling
+        # role on-device, ref: src/IOThread.h:46-155).
+        self.step = jax.jit(pipeline.apply, donate_argnums=(0,))
         self.state = pipeline.init_state()
         self.metrics = Metrics()
         self._ring_seconds = float(ring_seconds)
@@ -81,7 +84,7 @@ class LiveReceiver:
             return (st_dist, st_spec, disp["spectrum_points"],
                     jnp.sum(valid.astype(jnp.int32)))
 
-        self._visual = jax.jit(_visual_step)
+        self._visual = jax.jit(_visual_step, donate_argnums=(0, 1))
 
         # Live audio tap: rolling mix chunks for HTTP/host audio sinks (the
         # AudioThread output analog, ref: src/audio/AudioThread.cpp:88-243).
@@ -112,6 +115,12 @@ class LiveReceiver:
         self._producer: Optional[threading.Thread] = None
         self._producer_gen = 0               # bumped to retire a producer
         self.source_error: Optional[Exception] = None
+        # Serializes step dispatch/state reassignment against control-plane
+        # threads (plan swap, state snapshot): with donated state buffers,
+        # reading ``self.state`` concurrently with an in-flight step would
+        # touch a dead buffer. Held only for the (async) dispatch — never
+        # for device compute or host fanout.
+        self.step_lock = threading.Lock()
 
     # --- producer: source -> ring (the SDRThread readLoop analog) ---
     def _produce(self, source, gen: int):
@@ -179,6 +188,15 @@ class LiveReceiver:
         if was_running:
             self.start_producer()
 
+    def snapshot_state(self) -> object:
+        """Host (numpy) copy of the streaming state, safe to read from any
+        thread: taken under the step lock so it can never alias a buffer
+        the donated in-flight step is about to consume. Checkpointing and
+        plan-rebuild carry go through this."""
+        import jax
+        with self.step_lock:
+            return jax.tree.map(np.asarray, self.state)
+
     def swap_pipeline(self, pipeline, controls, state=None):
         """Install a new compiled plan. When the wideband format changed
         (sample rate / block size / audio rate) the ring and visual chain
@@ -189,10 +207,12 @@ class LiveReceiver:
             pipeline.sample_rate != self.pipeline.sample_rate
             or pipeline.block_len != self.pipeline.block_len
             or pipeline.audio_rate != self.pipeline.audio_rate)
-        self.pipeline = pipeline
-        self.controls = controls
-        self.step = jax.jit(pipeline.apply)
-        self.state = state if state is not None else pipeline.init_state()
+        with self.step_lock:        # never mid-dispatch on the consumer
+            self.pipeline = pipeline
+            self.controls = controls
+            self.step = jax.jit(pipeline.apply, donate_argnums=(0,))
+            self.state = (state if state is not None
+                          else pipeline.init_state())
         self.planar = getattr(pipeline, "dtype", None) == PLANAR
         if not format_changed:
             return
@@ -212,37 +232,60 @@ class LiveReceiver:
             return (st_dist, st_spec, disp["spectrum_points"],
                     jnp.sum(valid.astype(jnp.int32)))
 
-        self._visual = jax.jit(_visual_step)
+        self._visual = jax.jit(_visual_step, donate_argnums=(0, 1))
         self.zoom = None                     # view rates changed
         self.set_demod_view(None)
 
     # --- consumer: ring -> compiled step -> sinks ---
     def run_blocks(self, max_blocks: Optional[int] = None,
                    wait: bool = True) -> int:
+        """Consume ring blocks through the compiled step with ONE block of
+        dispatch lookahead: block i's step is enqueued (async under XLA),
+        then block i-1's host fanout (waterfall lines, audio tap/sinks,
+        recorders — the parts that force device->host pulls) runs while
+        the device computes block i. Host-side work and device compute
+        overlap instead of strictly alternating — the TPU shape of the
+        reference's producer/consumer thread overlap
+        (ref: src/sdr/SDRPostThread.cpp:152-199 pop-while-upstream-reads).
+        """
         jnp = self._jnp
         n = 0
+        pending = None                  # (iq, out, planes) awaiting fanout
         while not self._stop.is_set():
             if max_blocks is not None and n >= max_blocks:
                 break
-            # Re-read each block: a control-plane plan swap (webview add/
-            # remove demod) may change the compiled block size mid-stream.
-            L = self.pipeline.block_len
-            got = self.ring.read(L)
-            if got is None:
+            dispatched = None
+            with self.step_lock:
+                # Block size re-read under the lock: a control-plane plan
+                # swap (webview add/remove demod) may change the compiled
+                # block size mid-stream.
+                L = self.pipeline.block_len
+                got = self.ring.read(L)
+                if got is not None:
+                    re, im = got
+                    if self.planar:
+                        iq = PC(jnp.asarray(re), jnp.asarray(im))
+                    else:
+                        iq = jnp.asarray(re) + 1j * jnp.asarray(im)
+                    self.state, out = self.step(self.state,
+                                                (iq, self.controls))
+                    self.metrics.tick("pipeline", L)
+                    n += 1
+                    dispatched = (iq, out, (re, im))
+            if dispatched is None:
+                if pending is not None:     # starved: drain the lookahead
+                    self._fanout(*pending)
+                    pending = None
                 if not wait or (self._producer is not None
                                 and not self._producer.is_alive()):
                     break
                 self._stop.wait(0.001)
                 continue
-            re, im = got
-            if self.planar:
-                iq = PC(jnp.asarray(re), jnp.asarray(im))
-            else:
-                iq = jnp.asarray(re) + 1j * jnp.asarray(im)
-            self.state, out = self.step(self.state, (iq, self.controls))
-            self._fanout(iq, out, (re, im))
-            self.metrics.tick("pipeline", L)
-            n += 1
+            if pending is not None:
+                self._fanout(*pending)      # overlaps block n's compute
+            pending = dispatched
+        if pending is not None:
+            self._fanout(*pending)
         return n
 
     def set_zoom(self, offset: Optional[float], bandwidth: float = 0.0):
@@ -309,7 +352,7 @@ class LiveReceiver:
                 return (st_dist, st_spec, disp["spectrum_points"],
                         jnp.sum(valid.astype(jnp.int32)))
 
-            self._visual = jax.jit(_visual_step)
+            self._visual = jax.jit(_visual_step, donate_argnums=(0, 1))
         if demod_view_fft is not None \
                 and int(demod_view_fft) != self.demod_view_fft:
             self.demod_view_fft = int(demod_view_fft)

@@ -958,7 +958,10 @@ class WebViewer:
         from cubicsdr_tpu.receiver.pipeline import (
             ReceiverPipeline, plan_from_manager, controls_from_manager)
         r = self.receiver
-        old_rx, old_state, old_keyed = r.pipeline, r.state, self.keyed
+        # Host snapshot under the step lock: with donated state buffers,
+        # r.state may alias a buffer the in-flight step is consuming.
+        old_rx, old_state, old_keyed = (r.pipeline, r.snapshot_state(),
+                                        self.keyed)
         rate_changed = (sample_rate is not None
                         and float(sample_rate) != old_rx.sample_rate)
         rate = float(sample_rate) if rate_changed else old_rx.sample_rate
