@@ -78,13 +78,7 @@ class LiveReceiver:
         self._st_dist = self.dist.init_state()
         self._st_spec = self.spec.init_state()
 
-        def _visual_step(st_dist, st_spec, x):
-            st_dist, (frames, valid) = self.dist.apply(st_dist, x)
-            st_spec, disp = self.spec.apply(st_spec, frames, valid=valid)
-            return (st_dist, st_spec, disp["spectrum_points"],
-                    jnp.sum(valid.astype(jnp.int32)))
-
-        self._visual = jax.jit(_visual_step, donate_argnums=(0, 1))
+        self._post = self._make_post()
 
         # Live audio tap: rolling mix chunks for HTTP/host audio sinks (the
         # AudioThread output analog, ref: src/audio/AudioThread.cpp:88-243).
@@ -225,14 +219,7 @@ class LiveReceiver:
             dtype=dt)
         self._st_dist = self.dist.init_state()
         self._st_spec = self.spec.init_state()
-
-        def _visual_step(st_dist, st_spec, x):
-            st_dist, (frames, valid) = self.dist.apply(st_dist, x)
-            st_spec, disp = self.spec.apply(st_spec, frames, valid=valid)
-            return (st_dist, st_spec, disp["spectrum_points"],
-                    jnp.sum(valid.astype(jnp.int32)))
-
-        self._visual = jax.jit(_visual_step, donate_argnums=(0, 1))
+        self._post = self._make_post()
         self.zoom = None                     # view rates changed
         self.set_demod_view(None)
 
@@ -269,12 +256,16 @@ class LiveReceiver:
                         iq = jnp.asarray(re) + 1j * jnp.asarray(im)
                     self.state, out = self.step(self.state,
                                                 (iq, self.controls))
+                    # The packed post-step rides the device queue right
+                    # behind its own step; only the host PULL is deferred
+                    # one block (_fanout_finish below).
+                    disp = self._fanout_dispatch(iq, out)
                     self.metrics.tick("pipeline", L)
                     n += 1
-                    dispatched = (iq, out, (re, im))
+                    dispatched = (disp, iq, out, (re, im))
             if dispatched is None:
                 if pending is not None:     # starved: drain the lookahead
-                    self._fanout(*pending)
+                    self._fanout_finish(*pending)
                     pending = None
                 if not wait or (self._producer is not None
                                 and not self._producer.is_alive()):
@@ -282,10 +273,10 @@ class LiveReceiver:
                 self._stop.wait(0.001)
                 continue
             if pending is not None:
-                self._fanout(*pending)      # overlaps block n's compute
+                self._fanout_finish(*pending)   # overlaps block n's compute
             pending = dispatched
         if pending is not None:
-            self._fanout(*pending)
+            self._fanout_finish(*pending)
         return n
 
     def set_zoom(self, offset: Optional[float], bandwidth: float = 0.0):
@@ -345,14 +336,7 @@ class LiveReceiver:
                 else core.peak_hold)
             rebuild = True
         if rebuild:
-            def _visual_step(st_dist, st_spec, x):
-                st_dist, (frames, valid) = self.dist.apply(st_dist, x)
-                st_spec, disp = self.spec.apply(st_spec, frames,
-                                                valid=valid)
-                return (st_dist, st_spec, disp["spectrum_points"],
-                        jnp.sum(valid.astype(jnp.int32)))
-
-            self._visual = jax.jit(_visual_step, donate_argnums=(0, 1))
+            self._post = self._make_post()
         if demod_view_fft is not None \
                 and int(demod_view_fft) != self.demod_view_fft:
             self.demod_view_fft = int(demod_view_fft)
@@ -391,14 +375,15 @@ class LiveReceiver:
         routing, ref: AudioThread per-device bound threads)."""
         self.audio_solo = None if idx is None else int(idx)
 
-    def _solo_audio(self, out) -> Optional[np.ndarray]:
+    def _solo_audio(self, hgroups) -> Optional[np.ndarray]:
+        """One demod's audio from the packed host groups (no extra pull)."""
         idx, off = self.audio_solo, 0
-        for g in out["groups"]:
-            rows = g["level"].shape[0]
+        for h in hgroups:
+            rows = h["level"].shape[0]
             if idx < off + rows:
-                if "audio" not in g:
+                if "audio" not in h:
                     return None              # digital group: no audio
-                a = np.asarray(g["audio"][idx - off])
+                a = h["audio"][idx - off]
                 return np.concatenate([a, a]) if a.shape[0] == 1 else a
             off += rows
         return None
@@ -447,28 +432,113 @@ class LiveReceiver:
                 return
             off += n
 
+    def _make_post(self):
+        """Compile the post-step: the visual chain (distributor re-block +
+        spectrum EMA) FUSED with output packing — every host-needed output
+        of a block (display points, line count, mix audio, per-demod
+        levels, squelch flags, digital symbols, optionally per-demod
+        audio) leaves the device as ONE packed f32 vector, i.e. ONE
+        device->host transfer per block. Each separate pull costs ~3 ms of
+        round-trip latency on a tunneled chip regardless of size
+        (evidence/probe_tunnel2_r04.log), so the previous per-consumer
+        pulls (points, nv scalar, mix, per-group levels/symbols) dominated
+        the live loop's block time."""
+        import jax
+        jnp = self._jnp
+
+        def _post(st_dist, st_spec, x, mix, g_parts):
+            st_dist, (frames, valid) = self.dist.apply(st_dist, x)
+            st_spec, disp = self.spec.apply(st_spec, frames, valid=valid)
+            parts = [disp["spectrum_points"].ravel(),
+                     jnp.sum(valid.astype(jnp.int32))
+                        .astype(jnp.float32)[None]]
+            if mix is not None:
+                parts.append(mix.ravel())
+            for gp in g_parts:
+                parts.append(gp["level"].ravel())
+                for k in ("squelched", "symbols", "audio"):
+                    if gp[k] is not None:
+                        parts.append(gp[k].astype(jnp.float32).ravel())
+            return st_dist, st_spec, jnp.concatenate(parts)
+
+        return jax.jit(_post, donate_argnums=(0, 1))
+
+    def _pack_parts(self, out):
+        """(mix, g_parts) args for the packed post-step. The structure is
+        static per (plan, recording/audio config): toggling recording or
+        attaching a host audio output retraces the post-step once."""
+        want_audio = bool(self.record_path) or self.audio_output is not None
+        g_parts = []
+        for g in out.get("groups", ()):
+            has_audio = "audio" in g
+            g_parts.append({
+                "level": g["level"],
+                "squelched": (g["squelched"]
+                              if self.record_path and has_audio else None),
+                "symbols": g.get("symbols"),
+                "audio": g["audio"] if want_audio and has_audio else None,
+            })
+        return out.get("mix"), g_parts
+
+    def _fanout_dispatch(self, iq, out):
+        """Enqueue the packed post-step right behind its own block's step
+        (device queue order matters: dispatched any later, its result
+        would wait behind the NEXT block's compute). Returns the pending
+        device handle for _fanout_finish."""
+        mix_dev, g_parts = self._pack_parts(out)
+        self._st_dist, self._st_spec, packed = self._post(
+            self._st_dist, self._st_spec, iq, mix_dev, g_parts)
+        return (packed, mix_dev, g_parts)
+
     def _fanout(self, iq, out, planes=None):
-        # Waterfall lines from the full-band tap — one jitted call.
-        self._st_dist, self._st_spec, pts, nv = self._visual(
-            self._st_dist, self._st_spec, iq)
-        nv = int(nv)
+        self._fanout_finish(self._fanout_dispatch(iq, out), iq, out, planes)
+
+    def _fanout_finish(self, disp, iq, out, planes=None):
+        packed, mix_dev, g_parts = disp
+        host = np.asarray(packed)            # the ONE device->host pull
+        P = self.spec.fft_size
+        pts = host[:P]
+        nv = int(host[P])
+        off = P + 1
+
+        def take(shape):
+            nonlocal off
+            n = int(np.prod(shape))
+            v = host[off:off + n].reshape(shape)
+            off += n
+            return v
+
+        mix = take(mix_dev.shape) if mix_dev is not None else None
+        hgroups = []
+        for g, gp in zip(out.get("groups", ()), g_parts):
+            h = {"level": take(gp["level"].shape)}
+            if gp["squelched"] is not None:
+                h["squelched"] = take(gp["squelched"].shape) > 0.5
+            if gp["symbols"] is not None:
+                h["symbols"] = take(gp["symbols"].shape).astype(np.int32)
+            if gp["audio"] is not None:
+                h["audio"] = take(gp["audio"].shape)
+            if "iq" in g:
+                h["iq"] = g["iq"]     # device tap: pulled only on demand
+            hgroups.append(h)
+
         if nv:
-            self.waterfall.add_lines(np.tile(np.asarray(pts), (nv, 1)))
-        # Zoomed spectrum view, when active.
+            self.waterfall.add_lines(np.tile(pts, (nv, 1)))
+        # Zoomed spectrum view, when active (host planes: no pull).
         if self.zoom is not None and planes is not None:
             self.zoom.feed(np.stack(planes))
         # Demod-view spectrum from the selected demod's IQ tap.
         if self.demod_view is not None:
             self._demod_view_fanout(out)
         # Mix audio tap for live listeners.
-        if "mix" in out:
+        if mix is not None:
             with self.audio_cond:
-                self.audio_tap.append(np.asarray(out["mix"]))
+                self.audio_tap.append(mix)
                 self._audio_seq += 1
                 self.audio_cond.notify_all()
             if self.audio_output is not None:
-                a = (self._solo_audio(out) if self.audio_solo is not None
-                     else np.asarray(out["mix"]))
+                a = (self._solo_audio(hgroups)
+                     if self.audio_solo is not None else mix)
                 if a is not None:
                     try:
                         self.audio_output.write(a)
@@ -478,13 +548,12 @@ class LiveReceiver:
         # not audio — they are skipped but still advance the flat index).
         if self.record_path:
             gi_off = 0
-            for gi, g in enumerate(out["groups"]):
-                rows = g["level"].shape[0]
-                if "audio" not in g:
+            for h in hgroups:
+                rows = h["level"].shape[0]
+                if "audio" not in h:
                     gi_off += rows
                     continue
-                audio = np.asarray(g["audio"])
-                squelched = np.asarray(g["squelched"])
+                audio, squelched = h["audio"], h["squelched"]
                 for ri in range(rows):
                     key = gi_off + ri
                     if key not in self._recorders:
@@ -495,10 +564,10 @@ class LiveReceiver:
                             channels=audio.shape[1],
                             squelch_option=sq, time_limit_s=tl)
                     self._recorders[key].write(audio[ri],
-                                              bool(squelched[ri]))
+                                               bool(squelched[ri]))
                 gi_off += rows
         if self.on_block is not None:
-            self.on_block(out)
+            self.on_block({"groups": hgroups, "mix": mix})
 
     def stop(self):
         self._stop.set()

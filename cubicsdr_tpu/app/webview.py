@@ -661,6 +661,60 @@ class WebViewer:
                                ("control_mode", "follow_mode",
                                 "center_lock", "follow_modem")}}
 
+    # ---- modem settings (ref: src/ModemProperties.cpp:1-299 generated
+    #      properties panel; schema surface src/modules/modem/Modem.h:
+    #      141-146 getSettings/readSetting/writeSetting) -----------------
+    def modem_settings_json(self, index: int) -> dict:
+        """One demod's typed settings schema + current values — the data
+        the reference's ModemProperties panel generates widgets from."""
+        demods = self.mgr.get_demodulators() if self.mgr else []
+        if not (0 <= index < len(demods)):
+            return {"ok": False, "error": f"no demod {index}"}
+        d = demods[index]
+        args = []
+        for a in d.modem.get_settings():
+            args.append({
+                "key": a.key, "name": a.name, "value": a.value,
+                "type": a.arg_type, "units": a.units,
+                "description": a.description,
+                "low": a.low, "high": a.high, "options": a.options})
+        return {"ok": True, "index": index, "type": d.demod_type,
+                "settings": d.read_modem_settings(), "schema": args}
+
+    def _write_modem_settings(self, cmd: dict) -> dict:
+        """POST action 'modem_settings': validate against the ModemArg
+        schema, write onto the LIVE instance, and rebuild the plan —
+        settings are part of the compiled group key, so surviving demods
+        keep their streaming state (audio never glitches for untouched
+        rows) while the edited demod's rows re-kit."""
+        d = self.mgr.get_demodulators()[int(cmd["index"])]
+        schema = {a.key: a for a in d.modem.get_settings()}
+        new = {}
+        for k, v in dict(cmd.get("settings", {})).items():
+            a = schema.get(k)
+            if a is None:
+                return {"ok": False, "error": f"unknown setting {k!r} for "
+                        f"{d.demod_type}"}
+            try:
+                v = (int(v) if a.arg_type == "int"
+                     else float(v) if a.arg_type == "float" else str(v))
+            except (TypeError, ValueError):
+                return {"ok": False,
+                        "error": f"{k}: expected {a.arg_type}, got {v!r}"}
+            if a.options is not None and v not in a.options:
+                return {"ok": False,
+                        "error": f"{k}: {v!r} not in {a.options}"}
+            if a.low is not None and v < a.low \
+                    or a.high is not None and v > a.high:
+                return {"ok": False, "error":
+                        f"{k}: {v} outside [{a.low}, {a.high}]"}
+            new[k] = v
+        if not new:
+            return {"ok": False, "error": "no settings given"}
+        d.write_modem_settings(new)
+        self._rebuild_plan()
+        return {"ok": True, "settings": d.read_modem_settings()}
+
     # ---- device picker (ref: src/forms/SDRDevices/SDRDevices.cpp) -------
     def devices_json(self) -> dict:
         from dataclasses import asdict
@@ -871,13 +925,27 @@ class WebViewer:
                 flat = self._flat_order()
                 r.set_demod_view(
                     next(fi for fi, x in enumerate(flat) if x is d))
+        elif action == "modem_settings" and self.mgr is not None:
+            return self._write_modem_settings(cmd)
         elif action == "set" and self.mgr is not None:
             d = self.mgr.get_demodulators()[int(cmd["index"])]
             key, value = cmd["key"], cmd["value"]
             if key == "frequency":
                 d.frequency = float(value)
             elif key == "bandwidth":
+                # Bandwidth is part of the compiled group key: an edit
+                # that actually changes it needs a plan rebuild (with
+                # state carry) before it takes effect on the stream.
+                old_bw = int(d.bandwidth)
                 d.set_bandwidth(float(value))
+                if int(d.bandwidth) != old_bw:
+                    self._rebuild_plan()
+            elif key == "type":
+                # Modem swap on a live demod (ref: ModeSelectorCanvas ->
+                # DemodulatorInstance::setDemodulatorType, src/demod/
+                # DemodulatorInstance.cpp:359-458).
+                d.set_demod_type(str(value))
+                self._rebuild_plan()
             elif key == "squelch_level":
                 d.squelch_level = float(value)
             elif key == "squelch_enabled":
@@ -1063,6 +1131,13 @@ class WebViewer:
                     elif path == "/api/rig":
                         self._send(200,
                                    json.dumps(viewer.rig_json()).encode())
+                    elif path == "/api/modem_settings":
+                        q = dict(p.split("=", 1) for p in
+                                 (self.path.split("?", 1) + [""])[1].split(
+                                     "&") if "=" in p)
+                        self._send(200, json.dumps(
+                            viewer.modem_settings_json(
+                                int(q.get("index", 0)))).encode())
                     elif path == "/api/console":
                         q = dict(p.split("=", 1) for p in
                                  (self.path.split("?", 1) + [""])[1].split(

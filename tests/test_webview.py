@@ -444,6 +444,55 @@ def test_device_remote_manual_registration_persists(hx):
     assert d["remotes"] == []
 
 
+def test_modem_settings_rest_and_set_type_bandwidth(hx):
+    """HTTP surface for the generated-properties panel (ref: src/
+    ModemProperties.cpp) + live type/bandwidth edits rebuilding the plan."""
+    # FM has an empty (or small) schema; endpoint responds either way.
+    sch = json.loads(_get(hx.port, "/api/modem_settings?index=0"))
+    assert sch["ok"] and sch["type"] == "FM"
+
+    # Add an FSK demod, flip bps over REST, confirm it's live in the plan.
+    assert _post(hx.port, "/api/control",
+                 {"action": "add", "freq": 100e6 - 400e3, "type": "FSK",
+                  "bandwidth": 19200})["ok"]
+    idx = next(i for i, d in enumerate(hx.mgr.get_demodulators())
+               if d.demod_type == "FSK")
+    r = _post(hx.port, "/api/control",
+              {"action": "modem_settings", "index": idx,
+               "settings": {"bps": 2}})
+    assert r["ok"] and r["settings"]["bps"] == 2
+    g = next(g for g in hx.lr.pipeline.groups if g.modem_name == "FSK")
+    assert dict(g.settings)["bps"] == 2
+    hx.run(2)
+
+    # Live bandwidth edit must reach the compiled plan (group key).
+    fm_idx = next(i for i, d in enumerate(hx.mgr.get_demodulators())
+                  if d.demod_type == "FM")
+    assert _post(hx.port, "/api/control",
+                 {"action": "set", "index": fm_idx, "key": "bandwidth",
+                  "value": 100000})["ok"]
+    assert any(g.modem_name == "FM" and g.bandwidth == 100000
+               for g in hx.lr.pipeline.groups)
+    hx.run(2)
+
+    # Live type swap (ModeSelector, ref: DemodulatorInstance::
+    # setDemodulatorType) — FSK -> AM rebuilds into an analog group.
+    assert _post(hx.port, "/api/control",
+                 {"action": "set", "index": idx, "key": "type",
+                  "value": "AM"})["ok"]
+    assert hx.mgr.get_demodulators()[idx].demod_type == "AM"
+    assert any(g.modem_name == "AM" for g in hx.lr.pipeline.groups)
+    hx.run(2)
+
+    # Restore the fixture's shape for the remaining module tests.
+    assert _post(hx.port, "/api/control",
+                 {"action": "set", "index": fm_idx, "key": "bandwidth",
+                  "value": 200000})["ok"]
+    assert _post(hx.port, "/api/control",
+                 {"action": "remove", "index": idx})["ok"]
+    hx.run(2)
+
+
 def test_device_stop_start(hx):
     assert _post(hx.port, "/api/devices", {"op": "stop"})["ok"]
     assert not json.loads(_get(hx.port, "/api/devices"))["running"]
