@@ -1,7 +1,7 @@
 """Single-chip throughput benchmark: IQ Msamples/s through the full
 channelize + demod chain (BASELINE.json metric of record).
 
-Three configs, one JSON line each (the driver records all of them):
+Four configs, one JSON line each (the driver records all of them):
 
   demod16   — config #4 of BASELINE.json: 16-channel polyphase channelizer
               + 16-demod FM farm, device-resident IQ, K-block lax.scan.
@@ -24,8 +24,12 @@ planar f32 is also the faster TPU-native representation).
 Baseline for vs_baseline: the north-star 1 GS/s aggregate on a 16-chip
 v5p-16 => 62.5 MS/s per chip.
 
-Flags: --only {demod16,demod256,live16} (repeatable; default: all),
---demods N (extra custom config), --block L, --no-pallas.
+  live16_i16 — live16 with NATIVE-FORMAT ingest: int16 wire planes (what
+              CS16 SDR hardware emits) shipped host->device at half the
+              bytes, converted to f32 on the device's vector units.
+
+Flags: --only {demod16,demod256,live16,live16_i16} (repeatable; default:
+all), --demods N (extra custom config), --block L, --no-pallas.
 """
 
 import argparse
@@ -124,11 +128,15 @@ def bench_scan(n_demods: int, block_len=None, use_pallas=None,
 
 
 def bench_live(n_demods: int = 16, n_blocks: int = 240,
-               block_len=None, use_pallas=None):
+               block_len=None, use_pallas=None, ingest_dtype=None):
     """The LIVE path: host numpy blocks -> native SampleRing (producer
     thread) -> LiveReceiver.run_blocks (donated step + lookahead fanout:
     waterfall visual program, audio mix tap). Measures sustained MS/s and
-    reports ring drops — the number `cubicsdr rx` delivers."""
+    reports ring drops — the number `cubicsdr rx` delivers.
+
+    ingest_dtype=int16 measures native-format ingest: wire-width planes
+    to the device, converted on the VPU (half the host->device bytes; the
+    format real CS16 SDR hardware emits)."""
     from cubicsdr_tpu.app.runner import LiveReceiver
 
     rx, controls = build_pipeline(n_demods, block_len, use_pallas)
@@ -136,8 +144,15 @@ def bench_live(n_demods: int = 16, n_blocks: int = 240,
     rng = np.random.default_rng(1)
     # Pre-generated host blocks, cycled: the producer measures the ring +
     # transfer path, not numpy RNG throughput.
-    blocks = [np.ascontiguousarray(
-        rng.standard_normal((2, L)).astype(np.float32)) for _ in range(4)]
+    if ingest_dtype is not None and np.dtype(ingest_dtype) != np.float32:
+        k = float(np.iinfo(ingest_dtype).max // 2)
+        blocks = [np.ascontiguousarray(
+            (rng.standard_normal((2, L)) * 0.25 * k).astype(ingest_dtype))
+            for _ in range(4)]
+    else:
+        blocks = [np.ascontiguousarray(
+            rng.standard_normal((2, L)).astype(np.float32))
+            for _ in range(4)]
 
     class _CycleSource:
         """Unthrottled host source with back-pressure: waits for ring
@@ -163,7 +178,8 @@ def bench_live(n_demods: int = 16, n_blocks: int = 240,
 
     src = _CycleSource()
     lr = LiveReceiver(rx, controls, src, waterfall_fft=1024,
-                      waterfall_lines=64, ring_seconds=1.0)
+                      waterfall_lines=64, ring_seconds=1.0,
+                      ingest_dtype=ingest_dtype)
     src.ring = lr.ring
     lr.start_producer()
     lr.run_blocks(max_blocks=8)              # warm-up / compile
@@ -175,16 +191,17 @@ def bench_live(n_demods: int = 16, n_blocks: int = 240,
     lr.stop()
     msps = n * L / dt / 1e6
     drops = int(snap.get("ingest", {}).get("dropped", 0))
-    _emit(f"iq_msamples_per_sec_per_chip_live_loop_demod{n_demods}", msps,
-          {"blocks": n, "ring_dropped_samples": drops})
+    tag = "" if ingest_dtype is None else f"_{np.dtype(ingest_dtype).name}"
+    _emit(f"iq_msamples_per_sec_per_chip_live_loop_demod{n_demods}{tag}",
+          msps, {"blocks": n, "ring_dropped_samples": drops})
     return msps
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", action="append",
-                    choices=["demod16", "demod256", "live16"],
-                    help="run a subset (default: all three)")
+                    choices=["demod16", "demod256", "live16", "live16_i16"],
+                    help="run a subset (default: all four)")
     ap.add_argument("--demods", type=int, default=None,
                     help="extra custom scan config with N demods")
     ap.add_argument("--block", type=int, default=None)
@@ -193,7 +210,7 @@ def main():
     args = ap.parse_args()
 
     up = False if args.no_pallas else None
-    configs = args.only or ["demod16", "demod256", "live16"]
+    configs = args.only or ["demod16", "demod256", "live16", "live16_i16"]
     if args.demods is not None:
         bench_scan(args.demods, args.block, up)
         return
@@ -203,6 +220,9 @@ def main():
         bench_scan(256, args.block, up)
     if "live16" in configs:
         bench_live(16, args.live_blocks, args.block, up)
+    if "live16_i16" in configs:
+        bench_live(16, args.live_blocks, args.block, up,
+                   ingest_dtype=np.int16)
 
 
 if __name__ == "__main__":

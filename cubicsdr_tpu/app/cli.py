@@ -311,7 +311,8 @@ def cmd_serve(args):
         src = SoapySDRSource(
             args.soapy, sample_rate=dc.sample_rate or rate,
             frequency=center, ppm=dc.ppm, agc=dc.agc_mode,
-            iq_swap=bool(dc.settings.get("iq_swap", False)))
+            iq_swap=bool(dc.settings.get("iq_swap", False)),
+            wire_format=args.wire_format)
         for gname, gval in dc.gains.items():
             src.set_gain(gname, gval)
         for k, v in dc.settings.items():
@@ -330,11 +331,18 @@ def cmd_serve(args):
         src = SyntheticSource(rate, rx.block_len,
                               [Station(200e3, "fm", audio_freq=1000.0),
                                Station(-300e3, "am", audio_freq=600.0)])
+    # Native-format ingest: CS16/CS8 wire planes ride the ring and the
+    # host->device link at wire width; the compiled step converts on the
+    # device's vector units (half/quarter the DMA bytes of CF32).
+    import numpy as _np
+    ingest = {"cf32": None, "cs16": _np.int16,
+              "cs8": _np.int8}[args.wire_format]
     lr = LiveReceiver(rx, controls, src, center_freq=center,
                       record_path=args.record or config.recording_path
                       or None,
                       waterfall_fft=args.fft_size,
-                      waterfall_lps=float(config.waterfall_lps or 30))
+                      waterfall_lps=float(config.waterfall_lps or 30),
+                      ingest_dtype=ingest)
     try:
         lr.waterfall.set_theme(config.theme)
     except Exception:                      # noqa: BLE001 — unknown theme
@@ -492,6 +500,10 @@ def main(argv=None):
     r.set_defaults(fn=cmd_rx)
 
     s = sub.add_parser("serve", help="live receiver with web UI")
+    s.add_argument("--wire-format", choices=["cf32", "cs16", "cs8"],
+                   default="cf32",
+                   help="ingest sample format: native CS16/CS8 halves/"
+                        "quarters host->device bytes (on-device convert)")
     s.add_argument("session", nargs="?", default=None,
                    help="session .json (optional)")
     s.add_argument("input", nargs="?", default=None,

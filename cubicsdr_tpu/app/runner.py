@@ -43,7 +43,8 @@ class LiveReceiver:
                  waterfall_fft: int = 1024,
                  waterfall_lines: int = 256,
                  waterfall_lps: float = 30.0,
-                 on_block: Optional[Callable] = None):
+                 on_block: Optional[Callable] = None,
+                 ingest_dtype=None, ingest_scale: Optional[float] = None):
         import jax
         import jax.numpy as jnp
         self._jnp = jnp
@@ -52,15 +53,29 @@ class LiveReceiver:
         self.controls = controls
         self.source = source
         self.center_freq = center_freq
+        # Native-format ingest: the ring/host->device path carries the
+        # WIRE sample format (cs16/cs8 planes — what real SDR hardware
+        # emits) and the compiled step converts on the device's vector
+        # units. Halves/quarters the bytes through host memory and DMA vs
+        # the reference's host-side CF32 conversion
+        # (ref: src/sdr/SoapySDRThread.cpp:253-343).
+        self.ingest_dtype = np.dtype(ingest_dtype or np.float32)
+        if self.ingest_dtype != np.float32 and not self.planar:
+            raise ValueError("raw-format ingest requires a planar pipeline")
+        if ingest_scale is None:
+            ingest_scale = {2: 1.0 / 32768.0, 1: 1.0 / 128.0}.get(
+                self.ingest_dtype.itemsize, 1.0)
+        self.ingest_scale = float(ingest_scale)
         # Donate the streaming state: the live loop's state buffers recycle
         # in place instead of allocating per block (the ReBuffer recycling
         # role on-device, ref: src/IOThread.h:46-155).
-        self.step = jax.jit(pipeline.apply, donate_argnums=(0,))
+        self.step = self._make_step(pipeline)
         self.state = pipeline.init_state()
         self.metrics = Metrics()
         self._ring_seconds = float(ring_seconds)
         cap = int(pipeline.sample_rate * ring_seconds)
-        self.ring = SampleRing(max(cap, 4 * pipeline.block_len))
+        self.ring = SampleRing(max(cap, 4 * pipeline.block_len),
+                               dtype=self.ingest_dtype)
         self.record_path = record_path
         self._recorders: dict[int, RecordingSink] = {}
         self._rec_opts = (record_squelch, record_time_limit)
@@ -129,8 +144,18 @@ class LiveReceiver:
                 else:
                     re, im = blk.real, blk.imag
                 n = re.shape[-1]
-                ok = self.ring.write(np.ascontiguousarray(re, np.float32),
-                                     np.ascontiguousarray(im, np.float32))
+                dt = self.ingest_dtype
+                if dt != np.float32 and re.dtype != dt:
+                    # Float source into a raw-format ring: quantize at the
+                    # inverse of the device-side scale (sources should be
+                    # within ±1 full scale; raw-format sources skip this).
+                    k = 1.0 / self.ingest_scale
+                    re = np.clip(np.asarray(re, np.float32) * k,
+                                 np.iinfo(dt).min, np.iinfo(dt).max)
+                    im = np.clip(np.asarray(im, np.float32) * k,
+                                 np.iinfo(dt).min, np.iinfo(dt).max)
+                ok = self.ring.write(np.ascontiguousarray(re, dt),
+                                     np.ascontiguousarray(im, dt))
                 self.metrics.tick("ingest", n, dropped=0 if ok else n)
                 # Surface the live source's loss counters
                 # (ref: SoapySDRThread overflow warnings, :384-399).
@@ -182,6 +207,26 @@ class LiveReceiver:
         if was_running:
             self.start_producer()
 
+    def _make_step(self, pipeline):
+        """The compiled per-block step. For raw-format ingest, wire planes
+        convert to f32 ON DEVICE (a fused VPU multiply) and the converted
+        full-band iq replaces the passthrough tap so the visual chain sees
+        f32."""
+        import jax
+        jnp = self._jnp
+        if self.ingest_dtype == np.float32:
+            return jax.jit(pipeline.apply, donate_argnums=(0,))
+        scale = self.ingest_scale
+
+        def _step(state, inputs):
+            (re_raw, im_raw), controls = inputs
+            iq = PC(re_raw.astype(jnp.float32) * scale,
+                    im_raw.astype(jnp.float32) * scale)
+            state, out = pipeline.apply(state, (iq, controls))
+            return state, dict(out, iq=iq)
+
+        return jax.jit(_step, donate_argnums=(0,))
+
     def snapshot_state(self) -> object:
         """Host (numpy) copy of the streaming state, safe to read from any
         thread: taken under the step lock so it can never alias a buffer
@@ -204,14 +249,15 @@ class LiveReceiver:
         with self.step_lock:        # never mid-dispatch on the consumer
             self.pipeline = pipeline
             self.controls = controls
-            self.step = jax.jit(pipeline.apply, donate_argnums=(0,))
+            self.step = self._make_step(pipeline)
             self.state = (state if state is not None
                           else pipeline.init_state())
         self.planar = getattr(pipeline, "dtype", None) == PLANAR
         if not format_changed:
             return
         cap = int(pipeline.sample_rate * self._ring_seconds)
-        self.ring = SampleRing(max(cap, 4 * pipeline.block_len))
+        self.ring = SampleRing(max(cap, 4 * pipeline.block_len),
+                               dtype=self.ingest_dtype)
         dt = PLANAR if self.planar else jnp.complex64
         self.dist = FFTDataDistributor(
             self.spec.fft_size * 2, pipeline.sample_rate,
@@ -250,7 +296,10 @@ class LiveReceiver:
                 got = self.ring.read(L)
                 if got is not None:
                     re, im = got
-                    if self.planar:
+                    if self.ingest_dtype != np.float32:
+                        # Raw wire planes: converted on-device by the step.
+                        iq = (jnp.asarray(re), jnp.asarray(im))
+                    elif self.planar:
                         iq = PC(jnp.asarray(re), jnp.asarray(im))
                     else:
                         iq = jnp.asarray(re) + 1j * jnp.asarray(im)
@@ -486,8 +535,10 @@ class LiveReceiver:
         would wait behind the NEXT block's compute). Returns the pending
         device handle for _fanout_finish."""
         mix_dev, g_parts = self._pack_parts(out)
+        # The visual chain taps out["iq"] — the (converted-f32) full-band
+        # block the compiled step saw.
         self._st_dist, self._st_spec, packed = self._post(
-            self._st_dist, self._st_spec, iq, mix_dev, g_parts)
+            self._st_dist, self._st_spec, out["iq"], mix_dev, g_parts)
         return (packed, mix_dev, g_parts)
 
     def _fanout(self, iq, out, planes=None):
@@ -526,7 +577,10 @@ class LiveReceiver:
             self.waterfall.add_lines(np.tile(pts, (nv, 1)))
         # Zoomed spectrum view, when active (host planes: no pull).
         if self.zoom is not None and planes is not None:
-            self.zoom.feed(np.stack(planes))
+            p = np.stack(planes)
+            if p.dtype != np.float32:
+                p = p.astype(np.float32) * self.ingest_scale
+            self.zoom.feed(p)
         # Demod-view spectrum from the selected demod's IQ tap.
         if self.demod_view is not None:
             self._demod_view_fanout(out)

@@ -14,10 +14,12 @@ Reference behavior carried over (ref: src/sdr/SoapySDRThread.cpp):
   * device-loss detection -> DeviceLostError out of the iterator
     (:405-433 readLoop stop + notify)
 
-TPU re-design notes: blocks come out as float32 (re, im) planes — the
-planar representation the compiled receiver consumes — so no complex64 is
-ever materialized on the ingest path. The SoapySDR python module is an
-OPTIONAL import; construct with ``module=`` to inject a mock for tests.
+TPU re-design notes: blocks come out as (re, im) PLANES in the stream's
+wire format — float32 for CF32, int16/int8 for native CS16/CS8 streams —
+so no complex64 is ever materialized on the ingest path and raw formats
+ship at wire width all the way to the accelerator (runner ingest_dtype
+converts on-device). The SoapySDR python module is an OPTIONAL import;
+construct with ``module=`` to inject a mock for tests.
 """
 
 from __future__ import annotations
@@ -55,13 +57,19 @@ class SoapySDRSource:
     SoapySDR device. Thread-safe setters stage changes; they apply between
     reads exactly like the reference's atomics + updateSettings."""
 
+    #: wire_format -> (soapy stream format, numpy plane dtype)
+    WIRE_FORMATS = {"cf32": ("CF32", np.float32),
+                    "cs16": ("CS16", np.int16),
+                    "cs8": ("CS8", np.int8)}
+
     def __init__(self, device_args: str | dict = "",
                  sample_rate: float = 2_400_000.0,
                  frequency: float = 100e6,
                  block_len: Optional[int] = None,
                  stream_args: Optional[dict] = None,
                  ppm: float = 0.0, agc: bool = True,
-                 iq_swap: bool = False, module=None):
+                 iq_swap: bool = False, module=None,
+                 wire_format: str = "cf32"):
         if module is None:
             try:
                 import SoapySDR as module  # type: ignore
@@ -73,9 +81,17 @@ class SoapySDRSource:
         self._lock = threading.Lock()
         self._stopping = threading.Event()
 
+        # Native-format streaming: keep the hardware's sample format
+        # (cs16/cs8) on the wire AND in the emitted planes — conversion
+        # happens on the accelerator (runner ingest_dtype), not the host.
+        # The reference always converts to CF32 host-side
+        # (ref: src/sdr/SoapySDRThread.cpp:63-171 CF32 setup, :253-343).
+        fmt, dtype = self.WIRE_FORMATS[wire_format.lower()]
+        self.wire_format = wire_format.lower()
+        self.plane_dtype = np.dtype(dtype)
         self.device = module.Device(device_args)
         self.stream = self.device.setupStream(
-            getattr(module, "SOAPY_SDR_RX", 0), "CF32", [],
+            getattr(module, "SOAPY_SDR_RX", 0), fmt, [],
             stream_args or {})
         if self.stream is None:
             raise RuntimeError("Stream setup failed, stream is null")
@@ -93,7 +109,7 @@ class SoapySDRSource:
 
         self.num_elems = 0
         self.mtu_elems = 0
-        self._overflow = np.zeros((2, 0), np.float32)
+        self._overflow = np.zeros((2, 0), self.plane_dtype)
         self.sample_rate = float(sample_rate)    # device-applied rate
         self.iq_swap = bool(iq_swap)    # ref: SoapySDRThread.cpp:305-343
         # Observability counters surfaced into the app metrics
@@ -176,7 +192,7 @@ class SoapySDRSource:
                               or optimal_element_count(applied))
             mtu = int(d.getStreamMTU(self.stream) or 0)
             self.mtu_elems = mtu or self.num_elems   # broken-MTU fallback
-            self._overflow = np.zeros((2, 0), np.float32)
+            self._overflow = np.zeros((2, 0), self.plane_dtype)
             d.activateStream(self.stream)
         if changed["freq"]:
             d.setFrequency(RX, 0, "RF", freq)
@@ -197,7 +213,7 @@ class SoapySDRSource:
         overflow carry (ref: SoapySDRThread.cpp:195-345)."""
         self._apply_settings()
         n_elems, mtu = self.num_elems, self.mtu_elems
-        out = np.empty((2, n_elems), np.float32)
+        out = np.empty((2, n_elems), self.plane_dtype)
         n_read = 0
         # 1. drain the previous read's overflow first.
         if self._overflow.shape[-1]:
@@ -205,7 +221,7 @@ class SoapySDRSource:
             out[:, :take] = self._overflow[:, :take]
             self._overflow = self._overflow[:, take:]
             n_read = take
-        buf = np.empty(2 * mtu, np.float32)      # interleaved CF32 scratch
+        buf = np.empty(2 * mtu, self.plane_dtype)  # interleaved scratch
         while n_read < n_elems and not self._stopping.is_set():
             # 2. always read a full MTU chunk (readStream is MTU-suited and
             # cannot be adapted dynamically, ref :210-216).

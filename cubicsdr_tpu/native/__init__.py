@@ -64,11 +64,13 @@ def get_lib():
         lib.cs_float_to_pcm16.argtypes = [c_f32p, ctypes.c_int64, c_i16p]
         lib.cs_ring_create.restype = ctypes.c_void_p
         lib.cs_ring_create.argtypes = [ctypes.c_int64]
+        lib.cs_ring_create2.restype = ctypes.c_void_p
+        lib.cs_ring_create2.argtypes = [ctypes.c_int64, ctypes.c_int32]
         lib.cs_ring_destroy.argtypes = [ctypes.c_void_p]
-        lib.cs_ring_write.argtypes = [ctypes.c_void_p, c_f32p, c_f32p,
-                                      ctypes.c_int64]
-        lib.cs_ring_read.argtypes = [ctypes.c_void_p, c_f32p, c_f32p,
-                                     ctypes.c_int64]
+        lib.cs_ring_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                      ctypes.c_void_p, ctypes.c_int64]
+        lib.cs_ring_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                     ctypes.c_void_p, ctypes.c_int64]
         lib.cs_ring_fill.argtypes = [ctypes.c_void_p]
         lib.cs_ring_fill.restype = ctypes.c_int64
         lib.cs_ring_dropped.argtypes = [ctypes.c_void_p]
@@ -126,27 +128,37 @@ def float_to_pcm16(audio: np.ndarray) -> np.ndarray:
 
 
 class SampleRing:
-    """Bounded planar ring with try-push shedding (native when available)."""
+    """Bounded planar ring with try-push shedding (native when available).
 
-    def __init__(self, capacity: int):
+    ``dtype`` sets the stored sample format: float32 (default) or a wire
+    format (int16/int8) for native-format ingest — fewer bytes through
+    host memory and over the host->device link, converted on-device."""
+
+    def __init__(self, capacity: int, dtype=np.float32):
         self.capacity = int(capacity)
+        self.dtype = np.dtype(dtype)
         self._lib = get_lib()
         if self._lib is not None:
-            self._h = self._lib.cs_ring_create(self.capacity)
+            self._h = self._lib.cs_ring_create2(self.capacity,
+                                                self.dtype.itemsize)
         else:
-            self._re = np.zeros(capacity, np.float32)
-            self._im = np.zeros(capacity, np.float32)
+            self._re = np.zeros(capacity, self.dtype)
+            self._im = np.zeros(capacity, self.dtype)
             self._head = 0
             self._size = 0
             self.dropped = 0
             self._mu = threading.Lock()
 
+    def _vp(self, a: np.ndarray):
+        return ctypes.c_void_p(np.ascontiguousarray(a).ctypes.data)
+
     def write(self, re: np.ndarray, im: np.ndarray) -> bool:
         n = len(re)
         if self._lib is not None:
+            re = np.ascontiguousarray(re, self.dtype)
+            im = np.ascontiguousarray(im, self.dtype)
             return bool(self._lib.cs_ring_write(
-                self._h, _ptr(np.ascontiguousarray(re), ctypes.c_float),
-                _ptr(np.ascontiguousarray(im), ctypes.c_float), n))
+                self._h, self._vp(re), self._vp(im), n))
         with self._mu:
             if self._size + n > self.capacity:
                 self.dropped += n
@@ -163,11 +175,10 @@ class SampleRing:
 
     def read(self, n: int):
         if self._lib is not None:
-            re = np.empty(n, np.float32)
-            im = np.empty(n, np.float32)
-            ok = self._lib.cs_ring_read(
-                self._h, _ptr(re, ctypes.c_float), _ptr(im, ctypes.c_float),
-                n)
+            re = np.empty(n, self.dtype)
+            im = np.empty(n, self.dtype)
+            ok = self._lib.cs_ring_read(self._h, self._vp(re),
+                                        self._vp(im), n)
             return (re, im) if ok else None
         with self._mu:
             if self._size < n:

@@ -63,22 +63,35 @@ void cs_float_to_pcm16(const float* in, int64_t n, int16_t* out) {
 }
 
 // ---- bounded planar sample ring (ThreadBlockingQueue + ReBuffer role) ----
+//
+// Element-size generic: the ring stores samples in their WIRE format
+// (f32, cs16, cs8 planes) so native-format ingest ships fewer bytes to
+// the device and converts on the accelerator's vector units instead of
+// the host (the reference converts everything to CF32 host-side,
+// ref: SoapySDRThread.cpp:253-343 — on a TPU host that wastes PCIe/DMA
+// bandwidth, the live loop's true bound).
 
 struct Ring {
-    std::vector<float> re, im;
-    int64_t cap = 0;
-    int64_t head = 0;   // read position
+    std::vector<uint8_t> re, im;
+    int64_t cap = 0;    // in samples
+    int64_t head = 0;   // read position (samples)
     int64_t size = 0;   // valid samples
     int64_t dropped = 0;
+    int32_t elem = 4;   // bytes per sample per plane
     std::mutex mu;
 };
 
-void* cs_ring_create(int64_t capacity) {
+void* cs_ring_create2(int64_t capacity, int32_t elem_size) {
     Ring* r = new Ring();
     r->cap = capacity;
-    r->re.resize(capacity);
-    r->im.resize(capacity);
+    r->elem = elem_size;
+    r->re.resize(capacity * elem_size);
+    r->im.resize(capacity * elem_size);
     return r;
+}
+
+void* cs_ring_create(int64_t capacity) {
+    return cs_ring_create2(capacity, 4);
 }
 
 void cs_ring_destroy(void* h) { delete (Ring*)h; }
@@ -86,7 +99,7 @@ void cs_ring_destroy(void* h) { delete (Ring*)h; }
 // try_push semantics: if there is not enough room, the whole batch is
 // dropped and counted (back-pressure shedding; the reference drops the
 // batch when its queue is full rather than blocking the device thread).
-int32_t cs_ring_write(void* h, const float* re, const float* im,
+int32_t cs_ring_write(void* h, const void* re, const void* im,
                       int64_t n) {
     Ring* r = (Ring*)h;
     std::lock_guard<std::mutex> lock(r->mu);
@@ -94,13 +107,16 @@ int32_t cs_ring_write(void* h, const float* re, const float* im,
         r->dropped += n;
         return 0;
     }
+    const int64_t e = r->elem;
     int64_t w = (r->head + r->size) % r->cap;
     int64_t first = std::min(n, r->cap - w);
-    std::memcpy(&r->re[w], re, first * sizeof(float));
-    std::memcpy(&r->im[w], im, first * sizeof(float));
+    std::memcpy(&r->re[w * e], re, first * e);
+    std::memcpy(&r->im[w * e], im, first * e);
     if (n > first) {
-        std::memcpy(&r->re[0], re + first, (n - first) * sizeof(float));
-        std::memcpy(&r->im[0], im + first, (n - first) * sizeof(float));
+        std::memcpy(&r->re[0], (const uint8_t*)re + first * e,
+                    (n - first) * e);
+        std::memcpy(&r->im[0], (const uint8_t*)im + first * e,
+                    (n - first) * e);
     }
     r->size += n;
     return 1;
@@ -108,16 +124,17 @@ int32_t cs_ring_write(void* h, const float* re, const float* im,
 
 // Blocking-read analog: returns n samples only when available (else 0) —
 // the consumer polls at block cadence like the compiled pipeline does.
-int32_t cs_ring_read(void* h, float* re, float* im, int64_t n) {
+int32_t cs_ring_read(void* h, void* re, void* im, int64_t n) {
     Ring* r = (Ring*)h;
     std::lock_guard<std::mutex> lock(r->mu);
     if (r->size < n) return 0;
+    const int64_t e = r->elem;
     int64_t first = std::min(n, r->cap - r->head);
-    std::memcpy(re, &r->re[r->head], first * sizeof(float));
-    std::memcpy(im, &r->im[r->head], first * sizeof(float));
+    std::memcpy(re, &r->re[r->head * e], first * e);
+    std::memcpy(im, &r->im[r->head * e], first * e);
     if (n > first) {
-        std::memcpy(re + first, &r->re[0], (n - first) * sizeof(float));
-        std::memcpy(im + first, &r->im[0], (n - first) * sizeof(float));
+        std::memcpy((uint8_t*)re + first * e, &r->re[0], (n - first) * e);
+        std::memcpy((uint8_t*)im + first * e, &r->im[0], (n - first) * e);
     }
     r->head = (r->head + n) % r->cap;
     r->size -= n;

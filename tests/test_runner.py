@@ -101,3 +101,50 @@ def test_rig_modes():
     rig.fail_with = RigError.TIMEOUT
     assert rc.poll() == RigError.TIMEOUT
     assert RigError.TIMEOUT.message() == "Rig communication timed out"
+
+
+def test_native_format_ingest_int16_matches_f32():
+    """Native-format ingest (the CS16 hardware path): int16 wire planes
+    through the ring, converted to f32 ON DEVICE by the compiled step.
+    Audio must match the f32 path within 16-bit quantization noise, and
+    the visual/waterfall chain must run from the converted tap."""
+    import jax.numpy as jnp
+    from cubicsdr_tpu.ops.planar import PLANAR
+    from cubicsdr_tpu.app.runner import LiveReceiver
+    fs = 1_000_000
+    mgr = DemodulatorMgr()
+    mgr.new_demodulator(100e6 + 200e3, "FM", 200000)
+    specs, keyed = plan_from_manager(mgr)
+    rx = ReceiverPipeline(fs, specs, dtype=PLANAR)
+    controls = controls_from_manager(mgr, rx, keyed, 100e6)
+    src = SyntheticSource(fs, rx.block_len,
+                          [Station(200e3, "fm", audio_freq=1000.0)])
+    blocks = [next(src) for _ in range(4)]   # complex64 blocks, |x| <~ 1
+
+    def run(ingest_dtype, blks):
+        got = []
+        lr = LiveReceiver(rx, controls, iter(blks), waterfall_fft=256,
+                          waterfall_lines=16, ingest_dtype=ingest_dtype,
+                          on_block=lambda o: got.append(o))
+        lr.start_producer()
+        n = lr.run_blocks()
+        lr.stop()
+        assert n == len(blks)
+        assert np.abs(lr.waterfall.buffer).sum() > 0   # visual chain ran
+        return got
+
+    got_f32 = run(None, list(blocks))
+    # int16 source blocks: pre-quantized planes, exactly what the ring
+    # receives from a CS16 SoapySDR stream.
+    i16 = [np.stack([
+        np.clip(b.real * 32768, -32768, 32767).astype(np.int16),
+        np.clip(b.imag * 32768, -32768, 32767).astype(np.int16)])
+        for b in blocks]
+    got_i16 = run(np.int16, i16)
+
+    for a, b in zip(got_f32, got_i16):
+        # FM discriminates phase, so 16-bit amplitude quantization stays
+        # tiny in the audio; levels within a fraction of a dB.
+        np.testing.assert_allclose(a["mix"], b["mix"], atol=2e-3)
+        np.testing.assert_allclose(a["groups"][0]["level"],
+                                   b["groups"][0]["level"], atol=0.1)
