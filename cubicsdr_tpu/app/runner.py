@@ -79,6 +79,12 @@ class LiveReceiver:
         self.record_path = record_path
         self._recorders: dict[int, RecordingSink] = {}
         self._rec_opts = (record_squelch, record_time_limit)
+        # Per-demod runtime recording control (ref: DemodulatorInstance::
+        # startRecording/stopRecording, src/demod/DemodulatorInstance.cpp:
+        # 600-655): launching with record_path records every analog demod
+        # (record_all); REST toggles override per flat row index.
+        self.record_all = record_path is not None
+        self.rec_override: dict[int, bool] = {}
         self.on_block = on_block
 
         dt = PLANAR if self.planar else jnp.complex64
@@ -100,9 +106,13 @@ class LiveReceiver:
         self.audio_tap: collections.deque = collections.deque(maxlen=64)
         self.audio_cond = threading.Condition()
         self._audio_seq = 0
-        # Host audio playback (RtAudio role): the mix — or one soloed
-        # demod — drains to a local output device / WAV spool.
-        self.audio_output = None
+        # Host audio playback (RtAudio role): N named sinks, each fed
+        # the full mix, one soloed demod, or a HOST-MIXED demod subset —
+        # the reference's per-device controller mixing where every demod
+        # picks its own output device (ref: src/audio/AudioThread.cpp:
+        # 370-442 bound threads + audioCallback mixing :88-243). The
+        # "default" sink is the legacy single-output surface.
+        self.audio_sinks: dict[str, dict] = {}
         self.audio_solo: Optional[int] = None    # flat demod index | None
 
         # Zoomed main-spectrum view (the is_view SpectrumVisualProcessor,
@@ -403,26 +413,70 @@ class LiveReceiver:
                 "fft_size": self.spec.fft_size,
                 "demod_view_fft": self.demod_view_fft}
 
+    @property
+    def audio_output(self):
+        """The 'default' sink's output (legacy single-output surface)."""
+        s = self.audio_sinks.get("default")
+        return s["output"] if s else None
+
     def set_audio_output(self, backend, device=None):
-        """Attach/replace/detach the host playback sink (RtAudio role).
+        """Attach/replace/detach the default host playback sink.
         backend: AudioOutput | 'auto' | 'sounddevice' | 'wav:<path>' |
         'null' | None (detach)."""
+        self.set_audio_sink("default", backend, device)
+
+    def set_audio_sink(self, name: str, backend=None, device=None,
+                       demods: Optional[list] = None):
+        """Configure one of N named host output sinks (the reference's
+        per-demod output-device routing: several devices run at once,
+        each mixing its bound demods, ref: src/audio/AudioThread.cpp:
+        370-442). ``demods`` = flat row indices mixed host-side for this
+        sink; None = the device-mixed full mix. backend None removes."""
         from cubicsdr_tpu.io.audio_out import AudioOutput
-        old, self.audio_output = self.audio_output, None
+        old = self.audio_sinks.pop(name, None)
         if old is not None:
-            old.close()
+            old["output"].close()
         if backend is None:
             return
         if not isinstance(backend, AudioOutput):
             backend = AudioOutput(int(self.pipeline.audio_rate), 2,
                                   backend=str(backend), device=device)
-        self.audio_output = backend
+        self.audio_sinks[name] = {
+            "output": backend,
+            "demods": None if demods is None else [int(i) for i in demods]}
 
     def set_audio_solo(self, idx: Optional[int]):
         """Route ONE demod (flat group-order index) to the host device
         instead of the mix (the reference's per-demod output-device
         routing, ref: AudioThread per-device bound threads)."""
         self.audio_solo = None if idx is None else int(idx)
+
+    def _subset_mix(self, hgroups, demods) -> Optional[np.ndarray]:
+        """Host-side mix of a demod subset for one sink: gain-weighted
+        active rows summed, peak-normalized above 1.0 — the per-device
+        mixing math of the reference's audioCallback
+        (ref: src/audio/AudioThread.cpp:174-240)."""
+        sel = set(demods)
+        acc, off = None, 0
+        for gi, h in enumerate(hgroups):
+            rows = h["level"].shape[0]
+            if "audio" not in h:
+                off += rows
+                continue
+            ctl = self.controls[gi]
+            for ri in range(rows):
+                if (off + ri) in sel and bool(ctl["active"][ri]):
+                    a = h["audio"][ri] * float(ctl["gain"][ri])
+                    if a.shape[0] == 1:
+                        a = np.concatenate([a, a])
+                    acc = a.copy() if acc is None else acc + a
+            off += rows
+        if acc is None:
+            return None
+        peak = float(np.abs(acc).max())
+        if peak > 1.0:
+            acc = acc / peak
+        return acc
 
     def _solo_audio(self, hgroups) -> Optional[np.ndarray]:
         """One demod's audio from the packed host groups (no extra pull)."""
@@ -512,18 +566,62 @@ class LiveReceiver:
 
         return jax.jit(_post, donate_argnums=(0, 1))
 
+    def recording_enabled(self, key: int) -> bool:
+        """Is flat row ``key`` recording right now?"""
+        return bool(self.record_path) and self.rec_override.get(
+            key, self.record_all)
+
+    def any_recording(self) -> bool:
+        return bool(self.record_path) and (
+            self.record_all or any(self.rec_override.values()))
+
+    def set_recording(self, key: int, on: bool,
+                      path: Optional[str] = None):
+        """Attach/detach ONE demod's recording sink at runtime (the 'R'
+        hotkey, ref: src/demod/DemodulatorInstance.cpp:600-655). ``key``
+        is the flat group-order row index; ``path`` (re)sets the base
+        recording path. Stopping closes + finalizes the WAV."""
+        if path:
+            self.record_path = path
+        if on and not self.record_path:
+            raise ValueError("no recording path set")
+        self.rec_override[key] = bool(on)
+        if not on:
+            r = self._recorders.pop(key, None)
+            if r is not None:
+                r.close()
+
+    def set_record_options(self, squelch=None, time_limit=None,
+                           path: Optional[str] = None):
+        """Runtime recording options (ref: AppFrame recording-options
+        menu + AudioSinkFileThread setSquelchOption/setFileTimeLimit,
+        src/audio/AudioSinkFileThread.cpp:28-73). Applied to sinks
+        created afterwards; existing files keep their policy."""
+        sq, tl = self._rec_opts
+        if squelch is not None:
+            sq = SquelchOption(squelch)
+        if time_limit is not None:
+            tl = float(time_limit)
+        self._rec_opts = (sq, tl)
+        if path:
+            self.record_path = path
+
     def _pack_parts(self, out):
         """(mix, g_parts) args for the packed post-step. The structure is
         static per (plan, recording/audio config): toggling recording or
         attaching a host audio output retraces the post-step once."""
-        want_audio = bool(self.record_path) or self.audio_output is not None
+        rec = self.any_recording()
+        want_audio = rec or any(
+            s["demods"] is not None for s in self.audio_sinks.values()
+        ) or (self.audio_solo is not None
+              and "default" in self.audio_sinks)
         g_parts = []
         for g in out.get("groups", ()):
             has_audio = "audio" in g
             g_parts.append({
                 "level": g["level"],
                 "squelched": (g["squelched"]
-                              if self.record_path and has_audio else None),
+                              if rec and has_audio else None),
                 "symbols": g.get("symbols"),
                 "audio": g["audio"] if want_audio and has_audio else None,
             })
@@ -590,26 +688,33 @@ class LiveReceiver:
                 self.audio_tap.append(mix)
                 self._audio_seq += 1
                 self.audio_cond.notify_all()
-            if self.audio_output is not None:
-                a = (self._solo_audio(hgroups)
-                     if self.audio_solo is not None else mix)
+            for name, sink in list(self.audio_sinks.items()):
+                if name == "default" and self.audio_solo is not None:
+                    a = self._solo_audio(hgroups)
+                elif sink["demods"] is None:
+                    a = mix
+                else:
+                    a = self._subset_mix(hgroups, sink["demods"])
                 if a is not None:
                     try:
-                        self.audio_output.write(a)
+                        sink["output"].write(a)
                     except Exception as e:       # noqa: BLE001 — device
-                        self.metrics.note("audio_out_error", str(e))
+                        self.metrics.note(f"audio_out_error_{name}",
+                                          str(e))
         # Recording sinks per demod group/row (digital groups emit symbols,
         # not audio — they are skipped but still advance the flat index).
-        if self.record_path:
+        if self.any_recording():
             gi_off = 0
             for h in hgroups:
                 rows = h["level"].shape[0]
                 if "audio" not in h:
                     gi_off += rows
                     continue
-                audio, squelched = h["audio"], h["squelched"]
+                audio, squelched = h["audio"], h.get("squelched")
                 for ri in range(rows):
                     key = gi_off + ri
+                    if not self.recording_enabled(key):
+                        continue
                     if key not in self._recorders:
                         sq, tl = self._rec_opts
                         self._recorders[key] = RecordingSink(
@@ -629,9 +734,9 @@ class LiveReceiver:
             self._producer.join(timeout=2.0)
         for r in self._recorders.values():
             r.close()
-        if self.audio_output is not None:
-            self.audio_output.close()
-            self.audio_output = None
+        for s in self.audio_sinks.values():
+            s["output"].close()
+        self.audio_sinks.clear()
 
     def status(self) -> str:
         return self.metrics.status_line()

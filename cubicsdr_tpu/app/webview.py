@@ -401,8 +401,11 @@ class WebViewer:
         if self.mgr is not None:
             with self._lock:
                 flat_levels = dict(self._levels)
+            flat = self._flat_order()
             levels = {id(d): flat_levels.get(fi, 0.0)
-                      for fi, d in enumerate(self._flat_order())}
+                      for fi, d in enumerate(flat)}
+            rec_on = {id(d): r.recording_enabled(fi)
+                      for fi, d in enumerate(flat)}
             for i, d in enumerate(self.mgr.get_demodulators()):
                 demods.append({
                     "index": i, "type": d.demod_type,
@@ -412,6 +415,7 @@ class WebViewer:
                     "gain": d.gain, "muted": d.muted, "solo": d.solo,
                     "active": d.active, "label": d.label,
                     "level": levels.get(id(d), 0.0),
+                    "recording": rec_on.get(id(d), False),
                 })
         from cubicsdr_tpu.visual.gradient import THEMES
         return {
@@ -424,6 +428,9 @@ class WebViewer:
             "metrics": r.metrics.snapshot(),
             "display": {**r.display_params(), "snap": self.config.snap,
                         "perf_mode": self.config.perf_mode},
+            "record": {"path": r.record_path,
+                       "squelch": int(r._rec_opts[0]),
+                       "time_limit": r._rec_opts[1]},
         }
 
     def spectrum_json(self) -> dict:
@@ -900,10 +907,31 @@ class WebViewer:
             if cap is not None and r.dist.lps > cap:
                 r.set_display(lps=cap)
         elif action == "audio_output":
-            # Host playback sink (RtAudio role): backend auto|sounddevice|
-            # wav:<path>|null, or null backend detaches.
-            r.set_audio_output(cmd.get("backend"),
-                               device=cmd.get("device"))
+            # Host playback sinks (RtAudio role): backend auto|
+            # sounddevice|wav:<path>|null (null/missing backend detaches).
+            # With "demods": [mgr indices], the named sink (default:
+            # "default") plays a HOST-MIXED subset — several sinks run
+            # at once, the reference's per-demod output-device routing
+            # (ref: src/audio/AudioThread.cpp:370-442).
+            name = str(cmd.get("name", "default"))
+            demods = cmd.get("demods")
+            if demods is not None:
+                flat = self._flat_order()
+                all_d = self.mgr.get_demodulators() if self.mgr else []
+                try:
+                    sel = [next(fi for fi, x in enumerate(flat)
+                                if x is all_d[int(i)]) for i in demods]
+                except (IndexError, StopIteration):
+                    return {"ok": False,
+                            "error": f"bad demod index in {demods}"}
+                r.set_audio_sink(name, cmd.get("backend"),
+                                 device=cmd.get("device"), demods=sel)
+            elif name != "default":
+                r.set_audio_sink(name, cmd.get("backend"),
+                                 device=cmd.get("device"))
+            else:
+                r.set_audio_output(cmd.get("backend"),
+                                   device=cmd.get("device"))
         elif action == "audio_solo" and self.mgr is not None:
             # Route ONE demod to the host audio device instead of the mix
             # (per-demod output routing, ref: AudioThread bound threads).
@@ -925,6 +953,22 @@ class WebViewer:
                 flat = self._flat_order()
                 r.set_demod_view(
                     next(fi for fi, x in enumerate(flat) if x is d))
+        elif action == "record_opts":
+            # Runtime recording options (ref: AppFrame recording-options
+            # menu; src/audio/AudioSinkFileThread.cpp:28-73).
+            from cubicsdr_tpu.io.recorder import SquelchOption
+            sq_map = {"silence": SquelchOption.RECORD_SILENCE,
+                      "skip": SquelchOption.SKIP_SILENCE,
+                      "always": SquelchOption.RECORD_ALWAYS}
+            sq = cmd.get("squelch")
+            if sq is not None and sq not in sq_map:
+                return {"ok": False,
+                        "error": f"squelch must be one of {list(sq_map)}"}
+            r.set_record_options(
+                squelch=sq_map[sq] if sq is not None else None,
+                time_limit=cmd.get("time_limit"), path=cmd.get("path"))
+            if cmd.get("path"):
+                self.config.recording_path = str(cmd["path"])
         elif action == "modem_settings" and self.mgr is not None:
             return self._write_modem_settings(cmd)
         elif action == "set" and self.mgr is not None:
@@ -972,6 +1016,16 @@ class WebViewer:
                         d.frequency - self.receiver.center_freq)
             elif key == "label":
                 d.label = str(value)
+            elif key == "recording":
+                # Per-demod recording attach/detach at runtime (the 'R'
+                # hotkey, ref: src/demod/DemodulatorInstance.cpp:600-655).
+                flat = self._flat_order()
+                fi = next(i for i, x in enumerate(flat) if x is d)
+                d.recording = bool(value)
+                path = (cmd.get("path") or r.record_path
+                        or self.config.recording_path or "recording")
+                r.set_recording(fi, bool(value),
+                                path=path if value else None)
             else:
                 return {"ok": False, "error": f"unknown key {key}"}
             self._refresh_controls()
@@ -1058,6 +1112,25 @@ class WebViewer:
                                            pipeline, keyed, state)
         r.set_demod_view(None)       # flat indices change with the plan
         self._consoles.clear()
+        # Flat row indices change with the plan: carry recording state and
+        # ACTIVE sinks by instance identity so a demod keeps appending to
+        # its own WAV across rebuilds (new rows inherit record_all).
+        old_flat = ([d for ds in old_keyed.values() for d in ds]
+                    if old_keyed else [])
+        new_flat = [d for ds in keyed.values() for d in ds]
+        eff = {id(d): r.recording_enabled(oi)
+               for oi, d in enumerate(old_flat)}
+        old_recs, r._recorders = r._recorders, {}
+        for oi, d in enumerate(old_flat):
+            sink = old_recs.pop(oi, None)
+            if sink is None:
+                continue
+            if d in new_flat:
+                r._recorders[new_flat.index(d)] = sink
+            else:
+                sink.close()             # demod removed: finalize its WAV
+        r.rec_override = {ni: eff[id(d)] for ni, d in enumerate(new_flat)
+                          if id(d) in eff}
         with self._lock:
             self.keyed = keyed
             r.swap_pipeline(pipeline, controls, state)
@@ -1127,6 +1200,11 @@ class WebViewer:
                                         if viewer.receiver.audio_output
                                         else None),
                             "solo": viewer.receiver.audio_solo,
+                            "sinks": {
+                                n: {"backend": s["output"].backend,
+                                    "demods": s["demods"]}
+                                for n, s in
+                                viewer.receiver.audio_sinks.items()},
                         }).encode())
                     elif path == "/api/rig":
                         self._send(200,

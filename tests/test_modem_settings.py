@@ -141,3 +141,127 @@ def test_flip_fsk_bps_and_fms_demph_mid_stream():
     assert max(s.max() for s in fsk_after) > 1
     assert max(s.max() for s in fsk_before) <= 1
     assert np.isfinite(got[-1]).all()
+
+
+def test_runtime_per_demod_recording(tmp_path):
+    """VERDICT item-4 acceptance: start recording ONE demod at runtime,
+    stream, change options, stop — valid finalized WAV with time-limit
+    rotation honored; the other demod never records (ref: src/demod/
+    DemodulatorInstance.cpp:600-655 startRecording/stopRecording,
+    src/audio/AudioSinkFileThread.cpp:28-73)."""
+    import time
+    from cubicsdr_tpu.io.wav import read_wav
+
+    mgr = DemodulatorMgr()
+    mgr.new_demodulator(100e6 + 200e3, "FM", 200000)
+    am = mgr.new_demodulator(100e6 - 300e3, "AM", 10000)
+    specs, keyed = plan_from_manager(mgr)
+    rx = ReceiverPipeline(FS, specs, dtype=PLANAR)
+    lr, viewer = _viewer(mgr, keyed, rx,
+                         controls_from_manager(mgr, rx, keyed, 100e6))
+    src = SyntheticSource(FS, rx.block_len,
+                          [Station(200e3, "fm", audio_freq=800.0),
+                           Station(-300e3, "am", audio_freq=500.0)])
+
+    def stream(n):
+        for _ in range(n):
+            b = next(src)
+            lr.ring.write(b.real.astype(np.float32),
+                          b.imag.astype(np.float32))
+        lr.run_blocks(max_blocks=n, wait=False)
+
+    stream(2)                            # not recording yet
+    assert not list(tmp_path.iterdir())
+
+    base = str(tmp_path / "rec")
+    assert viewer.control({"action": "record_opts", "path": base,
+                           "time_limit": 0.05, "squelch": "always"})["ok"]
+    # Start recording the AM demod only (mgr index 1).
+    assert viewer.control({"action": "set", "index": 1,
+                           "key": "recording", "value": True})["ok"]
+    st = viewer.state_json()
+    assert [d["recording"] for d in st["demods"]] == [False, True]
+    assert st["record"]["time_limit"] == 0.05
+
+    t0 = time.time()
+    stream(6)
+    while time.time() - t0 < 0.12:       # ensure the rotation clock ticks
+        time.sleep(0.01)
+    stream(6)
+
+    # Stop -> sink closed, WAV finalized.
+    assert viewer.control({"action": "set", "index": 1,
+                           "key": "recording", "value": False})["ok"]
+    assert not viewer.state_json()["demods"][1]["recording"]
+    assert not lr._recorders
+
+    wavs = sorted(tmp_path.iterdir())
+    assert len(wavs) >= 2                # base + >=1 rotated file
+    total = 0
+    for w in wavs:
+        data, rate = read_wav(str(w))
+        assert rate == rx.audio_rate
+        total += data.shape[-1]
+    assert total == 12 * rx.audio_len    # every recorded block landed
+    # Only the AM demod's flat row recorded.
+    flat = viewer._flat_order()
+    fi = next(i for i, d in enumerate(flat) if d is am)
+    assert all(f"demod{fi}" in w.name for w in wavs)
+
+    # Restart recording appends to a FRESH sink (old file intact).
+    assert viewer.control({"action": "set", "index": 1,
+                           "key": "recording", "value": True})["ok"]
+    stream(2)
+    lr.stop()
+
+
+def test_multi_sink_audio_routing(tmp_path):
+    """VERDICT item-6 acceptance: two host sinks, each fed a DIFFERENT
+    demod subset mixed host-side (ref: src/audio/AudioThread.cpp:370-442
+    per-device controller mixing). wav backends capture each sink."""
+    from cubicsdr_tpu.io.wav import read_wav
+
+    mgr = DemodulatorMgr()
+    mgr.new_demodulator(100e6 + 200e3, "FM", 200000)   # 800 Hz tone
+    mgr.new_demodulator(100e6 - 300e3, "AM", 10000)    # 500 Hz tone
+    specs, keyed = plan_from_manager(mgr)
+    rx = ReceiverPipeline(FS, specs, dtype=PLANAR)
+    lr, viewer = _viewer(mgr, keyed, rx,
+                         controls_from_manager(mgr, rx, keyed, 100e6))
+    src = SyntheticSource(FS, rx.block_len,
+                          [Station(200e3, "fm", audio_freq=800.0),
+                           Station(-300e3, "am", audio_freq=500.0)])
+
+    wav_a, wav_b = str(tmp_path / "a"), str(tmp_path / "b")
+    assert viewer.control({"action": "audio_output", "name": "spkA",
+                           "backend": f"wav:{wav_a}",
+                           "demods": [0]})["ok"]
+    assert viewer.control({"action": "audio_output", "name": "spkB",
+                           "backend": f"wav:{wav_b}",
+                           "demods": [1]})["ok"]
+    assert set(lr.audio_sinks) == {"spkA", "spkB"}
+
+    for _ in range(6):
+        b = next(src)
+        lr.ring.write(b.real.astype(np.float32),
+                      b.imag.astype(np.float32))
+    lr.run_blocks(max_blocks=6, wait=False)
+    # Detach both sinks (no backend) -> wav files finalized.
+    assert viewer.control({"action": "audio_output", "name": "spkA"})["ok"]
+    assert viewer.control({"action": "audio_output", "name": "spkB"})["ok"]
+    assert not lr.audio_sinks
+    lr.stop()
+
+    def tone_of(path):
+        d, rate = read_wav(path + ".wav" if not path.endswith(".wav")
+                           else path)
+        x = d.mean(axis=0) if d.ndim == 2 else d
+        x = x[len(x) // 2:]                      # skip warm-up
+        X = np.abs(np.fft.rfft(x * np.hanning(len(x))))
+        return np.fft.rfftfreq(len(x), 1 / rate)[np.argmax(X)]
+
+    import os
+    fa = wav_a + ("" if os.path.exists(wav_a) else ".wav")
+    fb = wav_b + ("" if os.path.exists(wav_b) else ".wav")
+    assert abs(tone_of(fa) - 800.0) < 20         # sink A: the FM demod
+    assert abs(tone_of(fb) - 500.0) < 20         # sink B: the AM demod
