@@ -180,10 +180,62 @@ function tune() {
 function setTheme() {
   ctl({action:'theme', name: document.getElementById('theme').value});
 }
-wf.onclick = spec.onclick = (ev) => {
+spec.onclick = (ev) => {
   const frac = ev.offsetX / ev.target.width;
   clickFreq = st.center_freq + (frac - 0.5) * st.sample_rate;
   document.getElementById('freq').value = clickFreq;
+};
+/* Waterfall drag interactions (ref: WaterfallCanvas mouse handlers):
+   drag on empty spectrum = CREATE a demod spanning the drag extent;
+   drag inside a demod's band = MOVE it; drag near a band edge = RESIZE
+   its bandwidth. A tiny drag is a plain click (sets clickFreq). */
+let drag = null;
+function freqAt(x) {
+  return st.center_freq + (x / wf.width - 0.5) * st.sample_rate;
+}
+function demodAt(f) {
+  let hit = null;
+  (st ? st.demods : []).forEach((d, i) => {
+    if (Math.abs(f - d.frequency) <= d.bandwidth / 2) hit = {d: d, i: i};
+  });
+  return hit;
+}
+wf.onmousedown = (ev) => {
+  if (!st) return;
+  const f = freqAt(ev.offsetX), hit = demodAt(f);
+  let mode = 'create';
+  if (hit) {
+    const edge = Math.abs(Math.abs(f - hit.d.frequency)
+                          - hit.d.bandwidth / 2);
+    mode = edge < hit.d.bandwidth * 0.15 ? 'resize' : 'move';
+  }
+  drag = {x0: ev.offsetX, x1: ev.offsetX, mode: mode, hit: hit};
+};
+wf.onmousemove = (ev) => {
+  if (drag) drag.x1 = ev.offsetX;
+};
+wf.onmouseup = async (ev) => {
+  if (!drag) return;
+  drag.x1 = ev.offsetX;
+  const f0 = freqAt(drag.x0), f1 = freqAt(drag.x1), d = drag;
+  drag = null;
+  if (Math.abs(d.x1 - d.x0) < 3) {              // plain click
+    clickFreq = f1;
+    document.getElementById('freq').value = clickFreq;
+    return;
+  }
+  if (d.mode === 'create') {
+    const bw = Math.max(Math.abs(f1 - f0), 10000);
+    await ctl({action: 'add', freq: (f0 + f1) / 2, type: 'FM',
+               bandwidth: bw});
+  } else if (d.mode === 'move') {
+    await ctl({action: 'set', index: d.hit.i, key: 'frequency',
+               value: d.hit.d.frequency + (f1 - f0)});
+  } else {                                      // resize by edge drag
+    const bw = Math.max(2 * Math.abs(f1 - d.hit.d.frequency), 5000);
+    await ctl({action: 'set', index: d.hit.i, key: 'bandwidth',
+               value: bw});
+  }
 };
 function addDemod() {
   if (clickFreq !== null)

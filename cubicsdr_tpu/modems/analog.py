@@ -539,7 +539,11 @@ class _FMStereoKit(StreamOp):
 class ModemFMStereo(Modem):
     name = "FMS"
     modem_type = "analog"
-    default_sample_rate = 200000
+    # Carson bandwidth of a 75 kHz-deviation stereo multiplex (53 kHz
+    # top edge) is ~256 kHz: a 200 kHz channel truncates the FM sidebands
+    # and caps separation at ~27 dB; 250 kHz restores broadcast-grade
+    # 34+ dB (measured through the full pipeline, BENCH.md r4).
+    default_sample_rate = 250000
 
     def get_settings(self):
         return [ModemArg("demph", "De-emphasis", 75, "int", "us",

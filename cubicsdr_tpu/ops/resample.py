@@ -347,18 +347,33 @@ def planar_rational_resample(x, rs: RationalResampler):
     return one_plane(x)
 
 
-def _hp_einsum(sub: str, a, b):
-    """Signal-path einsum at true-f32 accuracy: Precision.HIGHEST.
+def _signal_precision():
+    """Signal-path matmul precision for the XLA (no-Pallas) route.
 
-    On CPU that is plain f32; on TPU it is the MXU's 6-pass f32 algorithm.
-    A hand-split bf16x3 variant was A/B'd on the chip and LOST on both
+    Default HIGHEST = the MXU's 6-pass f32-true algorithm (plain f32 on
+    CPU). ``CUBICSDR_XLA_PRECISION=high`` selects the 3-pass bf16x3
+    algorithm — XLA splits operands internally (no HBM re-reads, unlike
+    the hand-split variant that lost the round-3 A/B) at half the MXU
+    passes. Chip A/B for the 256-demod fallback lives in BENCH.md."""
+    import os
+    name = os.environ.get("CUBICSDR_XLA_PRECISION", "highest").lower()
+    return {"high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+            "default": jax.lax.Precision.DEFAULT}[name]
+
+
+def _hp_einsum(sub: str, a, b):
+    """Signal-path einsum at true-f32 accuracy (Precision.HIGHEST, or the
+    CUBICSDR_XLA_PRECISION override).
+
+    A HAND-split bf16x3 variant was A/B'd on the chip and LOST on both
     axes for these HBM-resident operands (96 vs 107 MS/s at 256 demods,
     64.8 vs 85.3 dB audio SNR): materializing hi/lo operand copies re-reads
     the big window tensors from HBM, while HIGHEST splits internally. The
     split trick only wins inside the Pallas kernel where the operands are
     already VMEM-resident (ops/pallas/route.py)."""
     return jnp.einsum(sub, a, b, preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=_signal_precision())
 
 
 def planar_resample_matmul(x, rs: RationalResampler):

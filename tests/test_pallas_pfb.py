@@ -72,3 +72,21 @@ def test_pallas_pfb_pad_path():
     got = np.asarray(yr) + 1j * np.asarray(yi)
     assert got.shape == (M, n_steps)
     np.testing.assert_allclose(got, np.asarray(y_ref), atol=2e-4)
+
+
+def test_small_channel_count_demotes_to_xla():
+    """Mosaic sublane tiling needs D = M/2 to be a multiple of 8; smaller
+    channel counts (e.g. M=6 from a 2.4 MS/s capture) must silently take
+    the XLA path instead of failing to compile on hardware (measured:
+    'Slice shape along dimension 0 must be aligned to tiling (4), but is
+    3')."""
+    from cubicsdr_tpu.ops.channelizer import ChannelizerPFB2
+    from cubicsdr_tpu.ops.planar import PC, PLANAR
+    ch = ChannelizerPFB2(6, dtype=PLANAR, use_pallas=True)
+    assert not ch.use_pallas                  # demoted, not broken
+    L = 30 * ch.D
+    st, y = ch.apply(ch.init_state(),
+                     PC(jnp.ones(L, jnp.float32), jnp.zeros(L, jnp.float32)))
+    assert y.re.shape == (6, L // ch.D)
+    # Aligned counts keep the kernel.
+    assert ChannelizerPFB2(16, dtype=PLANAR, use_pallas=True).use_pallas

@@ -669,3 +669,14 @@ def test_display_controls_rest(hx):
     _post(hx.port, "/api/control", {"action": "display", "lps": 30.0,
                                     "peak_hold": False,
                                     "fft_average_rate": 0.65})
+
+
+def test_page_has_waterfall_drag_handlers(hx):
+    """The embedded page implements drag-create / drag-move / edge-resize
+    on the waterfall (ref: src/visual/WaterfallCanvas.cpp mouse handlers);
+    the REST paths they hit (add, set frequency, set bandwidth-with-
+    rebuild) are covered by the control tests above."""
+    page = _get(hx.port, "/").decode()
+    for frag in ("wf.onmousedown", "wf.onmouseup", "'resize'", "'move'",
+                 "action: 'add'", "key: 'bandwidth'", "key: 'frequency'"):
+        assert frag in page, frag
