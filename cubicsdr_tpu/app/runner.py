@@ -156,14 +156,27 @@ class LiveReceiver:
                 n = re.shape[-1]
                 dt = self.ingest_dtype
                 if dt != np.float32 and re.dtype != dt:
-                    # Float source into a raw-format ring: quantize at the
-                    # inverse of the device-side scale (sources should be
-                    # within ±1 full scale; raw-format sources skip this).
-                    k = 1.0 / self.ingest_scale
+                    if re.dtype.kind == "i":
+                        # Raw->raw width change (cs8 source, cs16 ring):
+                        # rescale between integer full scales.
+                        k = float(np.iinfo(dt).max + 1) \
+                            / float(np.iinfo(re.dtype).max + 1)
+                    else:
+                        # Float source into a raw-format ring: quantize at
+                        # the inverse of the device-side scale (sources
+                        # are within ±1 full scale).
+                        k = 1.0 / self.ingest_scale
                     re = np.clip(np.asarray(re, np.float32) * k,
                                  np.iinfo(dt).min, np.iinfo(dt).max)
                     im = np.clip(np.asarray(im, np.float32) * k,
                                  np.iinfo(dt).min, np.iinfo(dt).max)
+                elif dt == np.float32 and re.dtype.kind == "i":
+                    # Raw-format source (CS16/CS8 stream) into an f32
+                    # ring: normalize to ±1 — a bare int->float cast would
+                    # be 32768x/128x hot.
+                    k = 1.0 / float(np.iinfo(re.dtype).max + 1)
+                    re = np.asarray(re, np.float32) * k
+                    im = np.asarray(im, np.float32) * k
                 ok = self.ring.write(np.ascontiguousarray(re, dt),
                                      np.ascontiguousarray(im, dt))
                 self.metrics.tick("ingest", n, dropped=0 if ok else n)

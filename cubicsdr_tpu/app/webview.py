@@ -820,7 +820,8 @@ class WebViewer:
             stream_args=stream_args or None, ppm=dc.ppm, agc=dc.agc_mode,
             iq_swap=bool(cmd.get("iq_swap", dc.settings.get("iq_swap",
                                                             False))),
-            module=self.soapy_module)
+            module=self.soapy_module,
+            wire_format=str(cmd.get("wire_format", "cf32")))
         for name, v in dc.gains.items():
             src.set_gain(name, v)
         for k, v in dc.settings.items():

@@ -350,13 +350,16 @@ def planar_rational_resample(x, rs: RationalResampler):
 def _signal_precision():
     """Signal-path matmul precision for the XLA (no-Pallas) route.
 
-    Default HIGHEST = the MXU's 6-pass f32-true algorithm (plain f32 on
-    CPU). ``CUBICSDR_XLA_PRECISION=high`` selects the 3-pass bf16x3
-    algorithm — XLA splits operands internally (no HBM re-reads, unlike
-    the hand-split variant that lost the round-3 A/B) at half the MXU
-    passes. Chip A/B for the 256-demod fallback lives in BENCH.md."""
+    Default HIGH = the MXU's 3-pass bf16x3 algorithm, split internally by
+    XLA (no HBM re-reads, unlike the hand-split variant that lost the
+    round-3 A/B); plain f32 on CPU. Chip A/B on the 256-demod fallback
+    (evidence/soak2_xla_ab_r04.log + xla_high_snr_r04.log): HIGH measures
+    THE SAME 85.3 dB on-chip audio SNR as the 6-pass HIGHEST at +11%
+    throughput (121 vs 108 MS/s) — the stage is HBM-bound, so the extra
+    three passes of HIGHEST buy nothing. Override with
+    ``CUBICSDR_XLA_PRECISION=highest|default``."""
     import os
-    name = os.environ.get("CUBICSDR_XLA_PRECISION", "highest").lower()
+    name = os.environ.get("CUBICSDR_XLA_PRECISION", "high").lower()
     return {"high": jax.lax.Precision.HIGH,
             "highest": jax.lax.Precision.HIGHEST,
             "default": jax.lax.Precision.DEFAULT}[name]

@@ -148,3 +148,36 @@ def test_native_format_ingest_int16_matches_f32():
         np.testing.assert_allclose(a["mix"], b["mix"], atol=2e-3)
         np.testing.assert_allclose(a["groups"][0]["level"],
                                    b["groups"][0]["level"], atol=0.1)
+
+
+def test_raw_source_into_f32_ring_normalizes():
+    """A CS16 SoapySDR stream (int16 planes) feeding the default f32
+    ingest must be scaled to ±1, not cast hot (a bare int->float cast is
+    32768x the correct amplitude)."""
+    import jax.numpy as jnp
+    from cubicsdr_tpu.ops.planar import PLANAR
+    from cubicsdr_tpu.app.runner import LiveReceiver
+    fs = 1_000_000
+    mgr = DemodulatorMgr()
+    mgr.new_demodulator(100e6 + 200e3, "FM", 200000)
+    specs, keyed = plan_from_manager(mgr)
+    rx = ReceiverPipeline(fs, specs, dtype=PLANAR)
+    controls = controls_from_manager(mgr, rx, keyed, 100e6)
+    src = SyntheticSource(fs, rx.block_len,
+                          [Station(200e3, "fm", audio_freq=1000.0)])
+    blocks = [next(src) for _ in range(3)]
+    i16 = [np.stack([
+        np.clip(b.real * 32768, -32768, 32767).astype(np.int16),
+        np.clip(b.imag * 32768, -32768, 32767).astype(np.int16)])
+        for b in blocks]
+
+    got = []
+    lr = LiveReceiver(rx, controls, iter(i16),
+                      on_block=lambda o: got.append(o),
+                      waterfall_fft=256, waterfall_lines=8)
+    lr.start_producer()
+    assert lr.run_blocks() == 3
+    lr.stop()
+    lv = float(got[-1]["groups"][0]["level"][0])
+    # Properly normalized FM station measures ~-6 dB, not +84 dB.
+    assert -30 < lv < 10, lv
