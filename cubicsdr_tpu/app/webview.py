@@ -108,11 +108,28 @@ async function poll() {
     dd.innerHTML = '';
     st.demods.forEach((d, i) => {
       const e = document.createElement('div');
-      e.textContent = `#${i} ${d.type} ${d.frequency} Hz bw=${d.bandwidth}` +
-        ` sq=${d.squelch_enabled?d.squelch_level:'off'}` +
-        ` ${d.muted?'MUTE':''} level=${(d.level||0).toFixed(1)} dB`;
-      e.onclick = () => ctl({action:'set', index:i, key:'mute',
-                             value:!d.muted});
+      const lbl = document.createElement('span');
+      lbl.textContent = `#${i} ${d.type} ${d.frequency} Hz ` +
+        `bw=${d.bandwidth} sq=${d.squelch_enabled?d.squelch_level:'off'}` +
+        ` ${d.muted?'MUTE':''} level=${(d.level||0).toFixed(1)} dB `;
+      lbl.onclick = () => ctl({action:'set', index:i, key:'mute',
+                               value:!d.muted});
+      e.appendChild(lbl);
+      // Per-demod runtime controls: record attach/detach ('R' hotkey,
+      // ref: DemodulatorInstance startRecording), solo-to-host-audio,
+      // and the generated modem-settings panel (ref: ModemProperties).
+      for (const [txt, fn] of [
+        [d.recording ? '■rec' : '●rec',
+         () => ctl({action:'set', index:i, key:'recording',
+                    value:!d.recording})],
+        ['solo', () => ctl({action:'audio_solo',
+                            index: d.solo ? null : i})],
+        ['set..', () => editSettings(i)],
+        ['view', () => ctl({action:'view', index:i})],
+        ['x', () => ctl({action:'remove', index:i})]]) {
+        const b = document.createElement('button');
+        b.textContent = txt; b.onclick = fn; e.appendChild(b);
+      }
       dd.appendChild(e);
     });
     const sp = await (await fetch('/api/spectrum')).json();
@@ -153,6 +170,39 @@ function drawSpec(cv, pts, color) {
 async function ctl(body) {
   return fetch('/api/control', {method:'POST', body: JSON.stringify(body)});
 }
+/* Generated modem-settings editor (ref: src/ModemProperties.cpp): pull
+   the typed schema, prompt per arg, POST the edits (plan rebuilds with
+   state carry server-side). */
+async function editSettings(i) {
+  const sch = await (await fetch('/api/modem_settings?index=' + i)).json();
+  if (!sch.ok || !sch.schema.length) {
+    alert(sch.type + ': no editable settings'); return;
+  }
+  const edits = {};
+  for (const a of sch.schema) {
+    const cur = sch.settings[a.key] !== undefined ? sch.settings[a.key]
+                                                  : a.value;
+    const hint = a.options ? ` (${a.options.join('/')})`
+               : a.low !== null ? ` [${a.low}..${a.high}]` : '';
+    const v = prompt(`${sch.type} ${a.name}${hint}:`, cur);
+    if (v === null) continue;
+    edits[a.key] = a.type === 'string' ? v : parseFloat(v);
+  }
+  if (Object.keys(edits).length)
+    await ctl({action:'modem_settings', index:i, settings:edits});
+}
+/* Digital-lab console feed for the demod-view target. */
+async function pollConsole() {
+  try {
+    if (st && st.demods.length) {
+      const c = await (await fetch('/api/console?index=0')).json();
+      document.getElementById('console').textContent =
+        (c.text || '').slice(-512);
+    }
+  } catch (e) {}
+  setTimeout(pollConsole, 1500);
+}
+pollConsole();
 function nudge(d) { ctl({action:'nudge', index:null, delta_hz:d}); }
 function zoomAt() {
   if (clickFreq !== null)

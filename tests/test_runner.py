@@ -181,3 +181,41 @@ def test_raw_source_into_f32_ring_normalizes():
     lv = float(got[-1]["groups"][0]["level"][0])
     # Properly normalized FM station measures ~-6 dB, not +84 dB.
     assert -30 < lv < 10, lv
+
+
+def test_native_format_ingest_int8_end_to_end():
+    """CS8 (RTL-SDR class hardware): 8-bit planes through ring + device,
+    FM still decodes its tone (8-bit IQ SNR floor, not a scaling bug)."""
+    import jax.numpy as jnp
+    from cubicsdr_tpu.ops.planar import PLANAR
+    from cubicsdr_tpu.app.runner import LiveReceiver
+    fs = 1_000_000
+    mgr = DemodulatorMgr()
+    mgr.new_demodulator(100e6 + 200e3, "FM", 200000)
+    specs, keyed = plan_from_manager(mgr)
+    rx = ReceiverPipeline(fs, specs, dtype=PLANAR)
+    controls = controls_from_manager(mgr, rx, keyed, 100e6)
+    src = SyntheticSource(fs, rx.block_len,
+                          [Station(200e3, "fm", audio_freq=1000.0)])
+    i8 = [np.stack([
+        np.clip(b.real * 128, -128, 127).astype(np.int8),
+        np.clip(b.imag * 128, -128, 127).astype(np.int8)])
+        for b in (next(src) for _ in range(4))]
+
+    got = []
+    lr = LiveReceiver(rx, controls, iter(i8), ingest_dtype=np.int8,
+                      on_block=lambda o: got.append(o),
+                      waterfall_fft=256, waterfall_lines=8)
+    assert lr.ring.dtype == np.int8
+    lr.start_producer()
+    assert lr.run_blocks() == 4
+    lr.stop()
+    audio = np.concatenate([o["mix"][0] for o in got[1:]])
+    w = np.hanning(len(audio))
+    X = np.abs(np.fft.rfft(audio * w)) ** 2
+    f = np.fft.rfftfreq(len(audio), 1 / 48000)
+    k = int(np.argmax(X))
+    assert abs(f[k] - 1000.0) < 10          # tone survives 8-bit IQ
+    sig = X[k - 2: k + 3].sum()
+    snr = 10 * np.log10(sig / (X.sum() - sig))
+    assert snr > 25, snr
