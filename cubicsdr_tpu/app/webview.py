@@ -108,12 +108,12 @@ async function poll() {
     dd.innerHTML = '';
     st.demods.forEach((d, i) => {
       const e = document.createElement('div');
+      if (i === selIdx) e.className = 'sel';
       const lbl = document.createElement('span');
       lbl.textContent = `#${i} ${d.type} ${d.frequency} Hz ` +
         `bw=${d.bandwidth} sq=${d.squelch_enabled?d.squelch_level:'off'}` +
         ` ${d.muted?'MUTE':''} level=${(d.level||0).toFixed(1)} dB `;
-      lbl.onclick = () => ctl({action:'set', index:i, key:'mute',
-                               value:!d.muted});
+      lbl.onclick = () => { selIdx = i; };
       e.appendChild(lbl);
       // Per-demod runtime controls: record attach/detach ('R' hotkey,
       // ref: DemodulatorInstance startRecording), solo-to-host-audio,
@@ -191,6 +191,36 @@ async function editSettings(i) {
   if (Object.keys(edits).length)
     await ctl({action:'modem_settings', index:i, settings:edits});
 }
+/* Global hotkeys (ref: AppFrame::OnGlobalKeyDown, src/AppFrame.cpp:
+   2812-3087): arrows tune the center, brackets step the SELECTED demod's
+   bandwidth, m/r/s/v act on the selected demod, space focuses the
+   frequency entry. Click a demod row to select it. */
+let selIdx = 0;
+document.addEventListener('keydown', (ev) => {
+  if (ev.target.tagName === 'INPUT' || ev.target.tagName === 'SELECT'
+      || !st) return;
+  const d = st.demods[selIdx];
+  const acts = {
+    'ArrowLeft':  () => nudge(-25000),
+    'ArrowRight': () => nudge(25000),
+    'ArrowDown':  () => nudge(-250000),
+    'ArrowUp':    () => nudge(250000),
+    '[': () => d && ctl({action:'set', index:selIdx, key:'bandwidth',
+                         value: Math.max(d.bandwidth * 0.9, 5000)}),
+    ']': () => d && ctl({action:'set', index:selIdx, key:'bandwidth',
+                         value: d.bandwidth * 1.1}),
+    'm': () => d && ctl({action:'set', index:selIdx, key:'mute',
+                         value:!d.muted}),
+    'r': () => d && ctl({action:'set', index:selIdx, key:'recording',
+                         value:!d.recording}),
+    's': () => d && ctl({action:'set', index:selIdx, key:'solo',
+                         value:!d.solo}),
+    'v': () => d && ctl({action:'view', index:selIdx}),
+    ' ': () => { document.getElementById('freq').focus();
+                 ev.preventDefault(); },
+  };
+  if (acts[ev.key]) acts[ev.key]();
+});
 /* Digital-lab console feed for the demod-view target. */
 async function pollConsole() {
   try {

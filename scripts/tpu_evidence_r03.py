@@ -78,7 +78,8 @@ def bench_pipeline(n_demods: int, tag: str, use_pallas=None, K=8):
     return msps
 
 
-def sharded_vs_unsharded(K=8, block_len=None, use_pallas=False):
+def sharded_vs_unsharded(K=8, block_len=None, use_pallas=False,
+                         n_demods=16):
     """n=1 mesh ShardedReceiver vs the plain pipeline at the SAME config
     and Pallas setting — the delta is pure shard_map/collective overhead."""
     import jax
@@ -89,14 +90,15 @@ def sharded_vs_unsharded(K=8, block_len=None, use_pallas=False):
     from cubicsdr_tpu.receiver import ReceiverPipeline, DemodGroupSpec
 
     fs = 8_000_000
-    groups = [DemodGroupSpec("FM", 200000, 16)]
+    groups = [DemodGroupSpec("FM", 200000, n_demods)]
     mesh = make_receiver_mesh(n_time=1, n_chan=1,
                               devices=jax.devices()[:1])
     srx = ShardedReceiver(fs, num_channels=16, groups=groups, mesh=mesh,
                           block_len=block_len, use_pallas=use_pallas)
     controls = srx.control_template()
     controls[0]["frequency"][:] = np.asarray(
-        [((i % 16) - 8) * 500e3 + 20e3 for i in range(16)], np.float32)
+        [((i % 16) - 8) * 500e3 + 20e3 for i in range(n_demods)],
+        np.float32)
 
     rng = np.random.default_rng(0)
     iq_np = rng.standard_normal((2, K, srx.block_len)).astype(np.float32)
@@ -217,6 +219,7 @@ if __name__ == "__main__":
                     default="all")
     ap.add_argument("--sharded-block", type=int, default=None)
     ap.add_argument("--sharded-pallas", action="store_true")
+    ap.add_argument("--sharded-demods", type=int, default=16)
     args = ap.parse_args()
     import jax
     print(json.dumps({"tag": "env",
@@ -229,7 +232,8 @@ if __name__ == "__main__":
         bench_pipeline(256, "bench_demod256")
     if args.only in ("all", "sharded"):
         try:
-            sharded_vs_unsharded(block_len=args.sharded_block,
+            sharded_vs_unsharded(n_demods=args.sharded_demods,
+                                 block_len=args.sharded_block,
                                  use_pallas=args.sharded_pallas)
         except Exception as e:          # noqa: BLE001
             print(json.dumps({"tag": "sharded_error", "err": repr(e)}),

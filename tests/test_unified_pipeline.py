@@ -137,3 +137,43 @@ def test_mixed_analog_digital_plan():
     assert dig["symbols"].dtype == np.int32
     # Signal meter must register the digital station's carrier.
     assert float(dig["level"][0]) > -40.0
+
+
+def test_gmsk_decodes_through_pipeline():
+    """GMSK end-to-end (channelizer -> frontend -> integrate-and-dump,
+    ref: ModemGMSK.cpp:95-134): phase-continuous MSK-style capture at FS,
+    bits held 4 symbol frames (no clock recovery in the chain)."""
+    bw, sps, HOLD = 20000, 4, 4
+    specs = [DemodGroupSpec("GMSK", bw, 1, settings=(("sps", sps),))]
+    rx = ReceiverPipeline(FS, specs, dtype=PLANAR)
+    assert rx.is_digital == [True]
+
+    rng = np.random.default_rng(5)
+    f_station = 310e3
+    n_blocks = 3
+    n = n_blocks * rx.block_len
+    spb = HOLD * sps * int(FS // bw)         # capture samples per bit
+    bits = rng.integers(0, 2, n // spb + 1)
+    # MSK tone map at the kit rate: f = +-0.25/sps cycles/sample @ bw.
+    f_hz = (bits * 2 - 1) * (0.25 / sps) * bw
+    f_t = np.repeat(f_station + f_hz, spb)[:n]
+    iq = np.exp(1j * 2 * np.pi * np.cumsum(f_t) / FS).astype(np.complex64)
+
+    ctls = _controls(rx, [[f_station]])
+    step = jax.jit(rx.apply)
+    state = rx.init_state()
+    syms = []
+    for b in range(n_blocks):
+        blk = iq[b * rx.block_len:(b + 1) * rx.block_len]
+        state, out = step(state, (from_complex(blk), ctls))
+        g = out["groups"][0]
+        assert "symbols" in g and "audio" not in g
+        syms.append(np.asarray(g["symbols"][0]))
+    dec = np.concatenate(syms).astype(float) - 0.5
+    sent = np.repeat(bits.astype(float) - 0.5, HOLD)
+    best = 0.0
+    for d in range(0, 64):
+        m = min(len(dec) - d, len(sent))
+        best = max(best, np.mean(
+            np.sign(dec[d:d + m]) == np.sign(sent[:m])))
+    assert best > 0.9, best

@@ -680,3 +680,14 @@ def test_page_has_waterfall_drag_handlers(hx):
     for frag in ("wf.onmousedown", "wf.onmouseup", "'resize'", "'move'",
                  "action: 'add'", "key: 'bandwidth'", "key: 'frequency'"):
         assert frag in page, frag
+
+
+def test_page_has_hotkey_surface(hx):
+    """Global hotkeys (ref: AppFrame::OnGlobalKeyDown): arrows tune,
+    brackets step bandwidth, m/r/s/v per-demod verbs — present in the
+    page JS (their REST targets are covered by the control tests)."""
+    page = _get(hx.port, "/").decode()
+    for frag in ("keydown", "ArrowLeft", "key:'bandwidth'",
+                 "key:'recording'", "key:'solo'", "editSettings",
+                 "pollConsole"):
+        assert frag in page, frag
