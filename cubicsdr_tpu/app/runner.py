@@ -84,7 +84,12 @@ class LiveReceiver:
         # 600-655): launching with record_path records every analog demod
         # (record_all); REST toggles override per flat row index.
         self.record_all = record_path is not None
-        self.rec_override: dict[int, bool] = {}
+        self.rec_override: dict = {}
+        # Stable per-row identities (set by the control plane to demod
+        # instance ids): recorders and recording flags key on these, so a
+        # plan rebuild that shifts flat row indices never redirects a
+        # demod's audio into another demod's WAV. None -> flat indices.
+        self.row_keys: Optional[list] = None
         self.on_block = on_block
 
         dt = PLANAR if self.planar else jnp.complex64
@@ -275,20 +280,25 @@ class LiveReceiver:
             self.step = self._make_step(pipeline)
             self.state = (state if state is not None
                           else pipeline.init_state())
-        self.planar = getattr(pipeline, "dtype", None) == PLANAR
-        if not format_changed:
-            return
-        cap = int(pipeline.sample_rate * self._ring_seconds)
-        self.ring = SampleRing(max(cap, 4 * pipeline.block_len),
-                               dtype=self.ingest_dtype)
-        dt = PLANAR if self.planar else jnp.complex64
-        self.dist = FFTDataDistributor(
-            self.spec.fft_size * 2, pipeline.sample_rate,
-            lines_per_second=self.dist.lps, block_len=pipeline.block_len,
-            dtype=dt)
-        self._st_dist = self.dist.init_state()
-        self._st_spec = self.spec.init_state()
-        self._post = self._make_post()
+            self.planar = getattr(pipeline, "dtype", None) == PLANAR
+            if not format_changed:
+                return
+            # Format change: ring / visual chain / packed post-step are
+            # consumed inside the consumer's locked dispatch section, so
+            # they must be replaced UNDER the same lock — otherwise the
+            # consumer could dispatch a new-block_len block through the
+            # old distributor/post program and crash the live loop.
+            cap = int(pipeline.sample_rate * self._ring_seconds)
+            self.ring = SampleRing(max(cap, 4 * pipeline.block_len),
+                                   dtype=self.ingest_dtype)
+            dt = PLANAR if self.planar else jnp.complex64
+            self.dist = FFTDataDistributor(
+                self.spec.fft_size * 2, pipeline.sample_rate,
+                lines_per_second=self.dist.lps,
+                block_len=pipeline.block_len, dtype=dt)
+            self._st_dist = self.dist.init_state()
+            self._st_spec = self.spec.init_state()
+            self._post = self._make_post()
         self.zoom = None                     # view rates changed
         self.set_demod_view(None)
 
@@ -579,8 +589,15 @@ class LiveReceiver:
 
         return jax.jit(_post, donate_argnums=(0, 1))
 
-    def recording_enabled(self, key: int) -> bool:
-        """Is flat row ``key`` recording right now?"""
+    def row_key(self, fi: int):
+        """Stable identity of flat row ``fi`` (instance id when the
+        control plane registered row_keys, else the index itself)."""
+        return (self.row_keys[fi]
+                if self.row_keys is not None and fi < len(self.row_keys)
+                else fi)
+
+    def recording_enabled(self, key) -> bool:
+        """Is the row with stable key ``key`` recording right now?"""
         return bool(self.record_path) and self.rec_override.get(
             key, self.record_all)
 
@@ -650,15 +667,19 @@ class LiveReceiver:
         # block the compiled step saw.
         self._st_dist, self._st_spec, packed = self._post(
             self._st_dist, self._st_spec, out["iq"], mix_dev, g_parts)
-        return (packed, mix_dev, g_parts)
+        # Snapshot everything the deferred finish needs AT DISPATCH: the
+        # split geometry (spec may be swapped by a plan rebuild before the
+        # lookahead finish runs) and the row identities of THIS block.
+        n_rows = sum(gp["level"].shape[0] for gp in g_parts)
+        keys = [self.row_key(i) for i in range(n_rows)]
+        return (packed, mix_dev, g_parts, self.spec.fft_size, keys)
 
     def _fanout(self, iq, out, planes=None):
         self._fanout_finish(self._fanout_dispatch(iq, out), iq, out, planes)
 
     def _fanout_finish(self, disp, iq, out, planes=None):
-        packed, mix_dev, g_parts = disp
+        packed, mix_dev, g_parts, P, keys = disp
         host = np.asarray(packed)            # the ONE device->host pull
-        P = self.spec.fft_size
         pts = host[:P]
         nv = int(host[P])
         off = P + 1
@@ -716,33 +737,43 @@ class LiveReceiver:
                                           str(e))
         # Recording sinks per demod group/row (digital groups emit symbols,
         # not audio — they are skipped but still advance the flat index).
-        if self.any_recording():
-            gi_off = 0
-            for h in hgroups:
-                rows = h["level"].shape[0]
-                if "audio" not in h:
-                    gi_off += rows
-                    continue
-                audio, squelched = h["audio"], h.get("squelched")
-                for ri in range(rows):
-                    key = gi_off + ri
-                    if not self.recording_enabled(key):
-                        continue
-                    if key not in self._recorders:
-                        sq, tl = self._rec_opts
-                        self._recorders[key] = RecordingSink(
-                            f"{self.record_path}_demod{key}",
-                            int(self.pipeline.audio_rate),
-                            channels=audio.shape[1],
-                            squelch_option=sq, time_limit_s=tl)
-                    self._recorders[key].write(audio[ri],
-                                               bool(squelched[ri]))
+        # Gated on the DISPATCH-time packing (squelched present), not the
+        # current recording state: a toggle between dispatch and this
+        # deferred finish must not dereference fields that weren't packed.
+        gi_off = 0
+        for h in hgroups:
+            rows = h["level"].shape[0]
+            audio, squelched = h.get("audio"), h.get("squelched")
+            if audio is None or squelched is None:
                 gi_off += rows
+                continue
+            for ri in range(rows):
+                key = keys[gi_off + ri]
+                if not self.recording_enabled(key):
+                    continue
+                if key not in self._recorders:
+                    sq, tl = self._rec_opts
+                    self._recorders[key] = RecordingSink(
+                        f"{self.record_path}_demod{key}",
+                        int(self.pipeline.audio_rate),
+                        channels=audio.shape[1],
+                        squelch_option=sq, time_limit_s=tl)
+                self._recorders[key].write(audio[ri],
+                                           bool(squelched[ri]))
+            gi_off += rows
         if self.on_block is not None:
             self.on_block({"groups": hgroups, "mix": mix})
 
     def stop(self):
         self._stop.set()
+        if hasattr(self.source, "stop"):
+            try:
+                # Unblock a producer stuck inside the source (blocked
+                # read, back-pressure wait) — the stop event alone is only
+                # checked between yields.
+                self.source.stop()
+            except Exception:                # noqa: BLE001
+                pass
         if self._producer is not None:
             self._producer.join(timeout=2.0)
         for r in self._recorders.values():

@@ -122,8 +122,8 @@ async function poll() {
         [d.recording ? '■rec' : '●rec',
          () => ctl({action:'set', index:i, key:'recording',
                     value:!d.recording})],
-        ['solo', () => ctl({action:'audio_solo',
-                            index: d.solo ? null : i})],
+        ['solo', () => { soloIdx = (soloIdx === i) ? null : i;
+                         ctl({action:'audio_solo', index: soloIdx}); }],
         ['set..', () => editSettings(i)],
         ['view', () => ctl({action:'view', index:i})],
         ['x', () => ctl({action:'remove', index:i})]]) {
@@ -195,7 +195,7 @@ async function editSettings(i) {
    2812-3087): arrows tune the center, brackets step the SELECTED demod's
    bandwidth, m/r/s/v act on the selected demod, space focuses the
    frequency entry. Click a demod row to select it. */
-let selIdx = 0;
+let selIdx = 0, soloIdx = null;
 document.addEventListener('keydown', (ev) => {
   if (ev.target.tagName === 'INPUT' || ev.target.tagName === 'SELECT'
       || !st) return;
@@ -225,7 +225,7 @@ document.addEventListener('keydown', (ev) => {
 async function pollConsole() {
   try {
     if (st && st.demods.length) {
-      const c = await (await fetch('/api/console?index=0')).json();
+      const c = await (await fetch('/api/console?index=' + selIdx)).json();
       document.getElementById('console').textContent =
         (c.text || '').slice(-512);
     }
@@ -462,6 +462,11 @@ class WebViewer:
         self.receiver = receiver
         self.mgr = mgr
         self.keyed = keyed
+        if keyed:
+            # Stable per-row identities: recorders/recording flags follow
+            # the demod INSTANCE across plan rebuilds, not its row index.
+            receiver.row_keys = [d._id for ds in keyed.values()
+                                 for d in ds]
         self.bookmarks = bookmarks if bookmarks is not None else BookmarkMgr()
         self.config = config if config is not None else AppConfig()
         from cubicsdr_tpu.io.devices import SDREnumerator
@@ -536,7 +541,7 @@ class WebViewer:
             flat = self._flat_order()
             levels = {id(d): flat_levels.get(fi, 0.0)
                       for fi, d in enumerate(flat)}
-            rec_on = {id(d): r.recording_enabled(fi)
+            rec_on = {id(d): r.recording_enabled(r.row_key(fi))
                       for fi, d in enumerate(flat)}
             for i, d in enumerate(self.mgr.get_demodulators()):
                 demods.append({
@@ -563,6 +568,7 @@ class WebViewer:
             "record": {"path": r.record_path,
                        "squelch": int(r._rec_opts[0]),
                        "time_limit": r._rec_opts[1]},
+            "audio_solo": r.audio_solo,
         }
 
     def spectrum_json(self) -> dict:
@@ -1152,12 +1158,16 @@ class WebViewer:
             elif key == "recording":
                 # Per-demod recording attach/detach at runtime (the 'R'
                 # hotkey, ref: src/demod/DemodulatorInstance.cpp:600-655).
-                flat = self._flat_order()
-                fi = next(i for i, x in enumerate(flat) if x is d)
+                # Keyed by the INSTANCE id so the WAV follows the demod
+                # across plan rebuilds.
+                if d.modem.modem_type == "digital":
+                    return {"ok": False, "error":
+                            f"{d.demod_type} emits symbols, not audio; "
+                            "use the digital console"}
                 d.recording = bool(value)
                 path = (cmd.get("path") or r.record_path
                         or self.config.recording_path or "recording")
-                r.set_recording(fi, bool(value),
+                r.set_recording(d._id, bool(value),
                                 path=path if value else None)
             else:
                 return {"ok": False, "error": f"unknown key {key}"}
@@ -1245,27 +1255,18 @@ class WebViewer:
                                            pipeline, keyed, state)
         r.set_demod_view(None)       # flat indices change with the plan
         self._consoles.clear()
-        # Flat row indices change with the plan: carry recording state and
-        # ACTIVE sinks by instance identity so a demod keeps appending to
-        # its own WAV across rebuilds (new rows inherit record_all).
-        old_flat = ([d for ds in old_keyed.values() for d in ds]
-                    if old_keyed else [])
+        # Recorders/recording flags are keyed by INSTANCE id (row_keys),
+        # so a rebuild only needs the new row order registered and the
+        # sinks of REMOVED demods finalized.
         new_flat = [d for ds in keyed.values() for d in ds]
-        eff = {id(d): r.recording_enabled(oi)
-               for oi, d in enumerate(old_flat)}
-        old_recs, r._recorders = r._recorders, {}
-        for oi, d in enumerate(old_flat):
-            sink = old_recs.pop(oi, None)
-            if sink is None:
-                continue
-            if d in new_flat:
-                r._recorders[new_flat.index(d)] = sink
-            else:
-                sink.close()             # demod removed: finalize its WAV
-        r.rec_override = {ni: eff[id(d)] for ni, d in enumerate(new_flat)
-                          if id(d) in eff}
+        live_ids = {d._id for d in new_flat}
+        for rid in [k for k in r._recorders if k not in live_ids]:
+            r._recorders.pop(rid).close()
+        r.rec_override = {k: v for k, v in r.rec_override.items()
+                          if k in live_ids}
         with self._lock:
             self.keyed = keyed
+            r.row_keys = [d._id for d in new_flat]
             r.swap_pipeline(pipeline, controls, state)
 
     # ---- server ----------------------------------------------------------

@@ -40,6 +40,7 @@ class RecordingSink:
         self._t0 = clock()
         self._timestamp_fn = timestamp_fn or (
             lambda: datetime.now().strftime("%Y-%m-%d_%H-%M-%S"))
+        self._rotate_counts: dict[str, int] = {}
 
     def write(self, audio: np.ndarray, squelched: bool = False):
         audio = np.asarray(audio)
@@ -50,7 +51,13 @@ class RecordingSink:
                 audio = np.zeros_like(audio)
         if self.time_limit_s > 0 and (
                 self._clock() - self._t0) > self.time_limit_s:
-            self.writer.rotate_to(f"{self.base}_{self._timestamp_fn()}")
+            name = f"{self.base}_{self._timestamp_fn()}"
+            # Timestamps have 1 s resolution; a short time limit can
+            # rotate twice within a second — disambiguate instead of
+            # silently overwriting the previous rotation.
+            n = self._rotate_counts.get(name, 0)
+            self._rotate_counts[name] = n + 1
+            self.writer.rotate_to(name if n == 0 else f"{name}_{n}")
             self._t0 = self._clock()
         self.writer.write(audio)
 

@@ -208,9 +208,12 @@ class SoapySDRSource:
             for k, v in settings.items():
                 d.writeSetting(k, v)
 
-    def _read_block(self) -> np.ndarray:
+    def _read_block(self, live=None) -> np.ndarray:
         """Assemble one [2, num_elems] plane block from MTU chunks with
-        overflow carry (ref: SoapySDRThread.cpp:195-345)."""
+        overflow carry (ref: SoapySDRThread.cpp:195-345). ``live`` is the
+        owning iteration's liveness predicate (see __iter__)."""
+        if live is None:
+            live = lambda: not self._stopping.is_set()  # noqa: E731
         self._apply_settings()
         n_elems, mtu = self.num_elems, self.mtu_elems
         out = np.empty((2, n_elems), self.plane_dtype)
@@ -222,7 +225,7 @@ class SoapySDRSource:
             self._overflow = self._overflow[:, take:]
             n_read = take
         buf = np.empty(2 * mtu, self.plane_dtype)  # interleaved scratch
-        while n_read < n_elems and not self._stopping.is_set():
+        while n_read < n_elems and live():
             # 2. always read a full MTU chunk (readStream is MTU-suited and
             # cannot be adapted dynamically, ref :210-216).
             try:
@@ -254,16 +257,26 @@ class SoapySDRSource:
 
     def __iter__(self):
         # A fresh iteration clears a previous stop() latch so the webview's
-        # device stop→start verb resumes streaming; an in-flight stop()
-        # racing this clear only loses the latch for the OLD iteration,
-        # whose producer thread is already retired by its generation guard
-        # (app/runner.py _produce gen check).
-        self._stopping.clear()
-        while not self._stopping.is_set():
-            blk = self._read_block()
+        # device stop→start verb resumes streaming. Each iteration binds
+        # to a GENERATION: starting a new one retires any older iteration
+        # even if its thread is still mid-read when the latch clears (a
+        # stop_producer join timeout could otherwise leave two threads
+        # calling readStream on the same stream — streams are not
+        # thread-safe, ref: SoapySDRThread's single read thread).
+        with self._lock:
+            self._iter_gen = getattr(self, "_iter_gen", 0) + 1
+            mine = self._iter_gen
+            self._stopping.clear()
+
+        def live():
+            return (self._iter_gen == mine
+                    and not self._stopping.is_set())
+
+        while live():
+            blk = self._read_block(live)
             if blk.shape[-1] == 0:
                 continue
-            if blk.shape[-1] < self.num_elems and self._stopping.is_set():
+            if blk.shape[-1] < self.num_elems and not live():
                 # stop() interrupted the assembly: DROP the truncated tail
                 # rather than leak a short final block downstream
                 # (ref: SoapySDRThread.cpp:384-399 shed-on-stop policy).

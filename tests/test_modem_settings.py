@@ -203,10 +203,9 @@ def test_runtime_per_demod_recording(tmp_path):
         assert rate == rx.audio_rate
         total += data.shape[-1]
     assert total == 12 * rx.audio_len    # every recorded block landed
-    # Only the AM demod's flat row recorded.
-    flat = viewer._flat_order()
-    fi = next(i for i, d in enumerate(flat) if d is am)
-    assert all(f"demod{fi}" in w.name for w in wavs)
+    # Only the AM demod recorded — files carry its stable instance id
+    # (the WAV follows the demod across plan rebuilds).
+    assert all(f"demod{am._id}" in w.name for w in wavs)
 
     # Restart recording appends to a FRESH sink (old file intact).
     assert viewer.control({"action": "set", "index": 1,
@@ -265,3 +264,20 @@ def test_multi_sink_audio_routing(tmp_path):
     fb = wav_b + ("" if os.path.exists(wav_b) else ".wav")
     assert abs(tone_of(fa) - 800.0) < 20         # sink A: the FM demod
     assert abs(tone_of(fb) - 500.0) < 20         # sink B: the AM demod
+
+
+def test_recording_rejected_for_digital_demods():
+    """Digital demods emit symbols, not audio: toggling recording must be
+    a clear error, not a silent always-on recording flag that never
+    writes a file (round-4 review finding)."""
+    mgr = DemodulatorMgr()
+    mgr.new_demodulator(100e6 + 200e3, "FM", 200000)
+    mgr.new_demodulator(100e6 - 300e3, "BPSK", 20000)
+    specs, keyed = plan_from_manager(mgr)
+    rx = ReceiverPipeline(FS, specs, dtype=PLANAR)
+    lr, viewer = _viewer(mgr, keyed, rx,
+                         controls_from_manager(mgr, rx, keyed, 100e6))
+    r = viewer.control({"action": "set", "index": 1, "key": "recording",
+                        "value": True, "path": "/tmp/never"})
+    assert not r["ok"] and "symbols" in r["error"]
+    assert not lr.any_recording()
