@@ -643,7 +643,37 @@ class WebViewer:
             self.receiver.center_freq = float(sess.center_freq)
             self._rebuild_plan()
             return {"ok": True, "demods": len(self.mgr.get_demodulators())}
-        return {"ok": False, "error": "op must be save|load"}
+        if cmd.get("op") == "checkpoint":
+            # Bit-continuous snapshot of the LIVE streaming state (filter
+            # tails, NCO phases, EMA trackers) alongside the session —
+            # the resumable-pipeline deliverable (SURVEY §5) for the
+            # running app, not just the CLI rx path.
+            from cubicsdr_tpu.app.checkpoint import save_state
+            sess.save_session(path)
+            save_state(path + ".state.npz",
+                       self.receiver.snapshot_state(),
+                       meta={"center": self.receiver.center_freq})
+            return {"ok": True, "path": path,
+                    "state": path + ".state.npz"}
+        if cmd.get("op") == "restore":
+            from cubicsdr_tpu.app.checkpoint import load_state
+            if not sess.load_session(path):
+                return {"ok": False, "error": f"cannot load {path}"}
+            self.receiver.center_freq = float(sess.center_freq)
+            self._rebuild_plan()
+            r = self.receiver
+            try:
+                state, meta = load_state(path + ".state.npz",
+                                         r.pipeline.init_state())
+            except Exception as e:       # noqa: BLE001 — shape mismatch
+                return {"ok": False,
+                        "error": f"state restore failed: {e}"}
+            with r.step_lock:
+                r.state = state
+            return {"ok": True,
+                    "demods": len(self.mgr.get_demodulators())}
+        return {"ok": False,
+                "error": "op must be save|load|checkpoint|restore"}
 
     def waterfall_png(self) -> bytes:
         return self.receiver.waterfall.render_png_bytes()

@@ -281,3 +281,41 @@ def test_recording_rejected_for_digital_demods():
                         "value": True, "path": "/tmp/never"})
     assert not r["ok"] and "symbols" in r["error"]
     assert not lr.any_recording()
+
+
+def test_live_checkpoint_restore_is_bit_continuous(tmp_path):
+    """REST checkpoint/restore of the RUNNING receiver: restoring the
+    saved streaming state and replaying the same block reproduces the
+    post-checkpoint audio exactly (the reference's session restore loses
+    filter state; ref SURVEY §5 checkpoint/resume deliverable)."""
+    mgr = DemodulatorMgr()
+    mgr.new_demodulator(100e6 + 200e3, "FM", 200000)
+    specs, keyed = plan_from_manager(mgr)
+    rx = ReceiverPipeline(FS, specs, dtype=PLANAR)
+    lr, viewer = _viewer(mgr, keyed, rx,
+                         controls_from_manager(mgr, rx, keyed, 100e6))
+    src = SyntheticSource(FS, rx.block_len,
+                          [Station(200e3, "fm", audio_freq=800.0)])
+    blocks = [next(src) for _ in range(4)]
+    audio = []
+    lr.on_block = lambda o: audio.append(o["mix"].copy())
+
+    def stream(blks):
+        for b in blks:
+            lr.ring.write(b.real.astype(np.float32),
+                          b.imag.astype(np.float32))
+        lr.run_blocks(max_blocks=len(blks), wait=False)
+
+    stream(blocks[:3])
+    p = str(tmp_path / "ckpt.json")
+    res = viewer.session_io({"op": "checkpoint", "path": p})
+    assert res["ok"]
+    stream(blocks[3:])                    # keep going past the checkpoint
+    a3 = audio[3]
+
+    # ... later/elsewhere: restore and replay block 3.
+    audio.clear()
+    res = viewer.session_io({"op": "restore", "path": p})
+    assert res["ok"], res
+    stream(blocks[3:])
+    np.testing.assert_allclose(audio[0], a3, rtol=0, atol=1e-6)
