@@ -1122,6 +1122,29 @@ class WebViewer:
                 flat = self._flat_order()
                 r.set_demod_view(
                     next(fi for fi, x in enumerate(flat) if x is d))
+        elif action == "profile":
+            # Structured tracing (SURVEY §5: the reference has only
+            # stdout anomaly prints; here a real profiler surface): dump
+            # a JAX/XLA trace of the next ``seconds`` of live streaming
+            # to ``path`` for TensorBoard/xprof.
+            import jax.profiler
+            path = str(cmd.get("path", "/tmp/cubicsdr_trace"))
+            seconds = float(cmd.get("seconds", 2.0))
+            if getattr(self, "_profiling", False):
+                return {"ok": False, "error": "profile already running"}
+            self._profiling = True
+            jax.profiler.start_trace(path)
+
+            def _stop():
+                import time as _t
+                _t.sleep(seconds)
+                try:
+                    jax.profiler.stop_trace()
+                finally:
+                    self._profiling = False
+
+            threading.Thread(target=_stop, daemon=True).start()
+            return {"ok": True, "path": path, "seconds": seconds}
         elif action == "record_opts":
             # Runtime recording options (ref: AppFrame recording-options
             # menu; src/audio/AudioSinkFileThread.cpp:28-73).

@@ -691,3 +691,25 @@ def test_page_has_hotkey_surface(hx):
                  "key:'recording'", "key:'solo'", "editSettings",
                  "pollConsole"):
         assert frag in page, frag
+
+
+def test_profile_trace_endpoint(hx, tmp_path):
+    """Structured tracing (SURVEY §5): the profile action captures a JAX
+    trace of live streaming to a TensorBoard-compatible directory."""
+    import time
+    p = str(tmp_path / "trace")
+    r = _post(hx.port, "/api/control",
+              {"action": "profile", "path": p, "seconds": 0.5})
+    assert r["ok"], r
+    # Overlapping start is rejected while the window is open.
+    assert not _post(hx.port, "/api/control",
+                     {"action": "profile", "path": p})["ok"]
+    hx.run(2)                                 # traced blocks
+    deadline = time.time() + 10
+    import os
+    while time.time() < deadline and not any(
+            f.endswith(".trace.json.gz") or "xplane" in f
+            for _, _, fs in os.walk(p) for f in fs):
+        time.sleep(0.2)
+    found = [f for _, _, fs in os.walk(p) for f in fs]
+    assert found, "no trace files written"
