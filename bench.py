@@ -176,6 +176,20 @@ def bench_live(n_demods: int = 16, n_blocks: int = 240,
         def stop(self):
             self.stop_flag = True
 
+    # Transport self-calibration: one put->consume->pull round measures
+    # the link's CURRENT wire rate (the tunnel's varies hour to hour —
+    # BENCH.md variance note), so every recorded live row carries the
+    # roofline it ran against.
+    import jax
+    import jax.numpy as jnp
+    probe = jax.jit(lambda a, b: (a.astype(jnp.float32).sum()
+                                  + b.astype(jnp.float32).sum()))
+    float(probe(blocks[0][0], blocks[0][1]))      # compile + warm
+    t0 = time.perf_counter()
+    for i in (1, 2):
+        float(probe(jnp.asarray(blocks[i][0]), jnp.asarray(blocks[i][1])))
+    wire_mbps = 2 * blocks[0].nbytes / (time.perf_counter() - t0) / 1e6
+
     src = _CycleSource()
     lr = LiveReceiver(rx, controls, src, waterfall_fft=1024,
                       waterfall_lines=64, ring_seconds=1.0,
@@ -193,7 +207,8 @@ def bench_live(n_demods: int = 16, n_blocks: int = 240,
     drops = int(snap.get("ingest", {}).get("dropped", 0))
     tag = "" if ingest_dtype is None else f"_{np.dtype(ingest_dtype).name}"
     _emit(f"iq_msamples_per_sec_per_chip_live_loop_demod{n_demods}{tag}",
-          msps, {"blocks": n, "ring_dropped_samples": drops})
+          msps, {"blocks": n, "ring_dropped_samples": drops,
+                 "wire_mbps_probe": round(wire_mbps, 1)})
     return msps
 
 
