@@ -264,10 +264,14 @@ class LiveReceiver:
         with self.step_lock:
             return jax.tree.map(np.asarray, self.state)
 
-    def swap_pipeline(self, pipeline, controls, state=None):
+    def swap_pipeline(self, pipeline, controls, state=None,
+                      row_keys=None):
         """Install a new compiled plan. When the wideband format changed
         (sample rate / block size / audio rate) the ring and visual chain
-        are rebuilt too; otherwise display continuity is preserved."""
+        are rebuilt too; otherwise display continuity is preserved.
+        ``row_keys`` installs the new rows' stable identities atomically
+        with the plan (a dispatch must never pair new keys with old
+        rows or vice versa)."""
         import jax
         jnp = self._jnp
         format_changed = (
@@ -280,6 +284,8 @@ class LiveReceiver:
             self.step = self._make_step(pipeline)
             self.state = (state if state is not None
                           else pipeline.init_state())
+            if row_keys is not None:
+                self.row_keys = list(row_keys)
             self.planar = getattr(pipeline, "dtype", None) == PLANAR
             if not format_changed:
                 return

@@ -1319,8 +1319,8 @@ class WebViewer:
                           if k in live_ids}
         with self._lock:
             self.keyed = keyed
-            r.row_keys = [d._id for d in new_flat]
-            r.swap_pipeline(pipeline, controls, state)
+            r.swap_pipeline(pipeline, controls, state,
+                            row_keys=[d._id for d in new_flat])
 
     # ---- server ----------------------------------------------------------
     def _handler_class(self):
