@@ -126,16 +126,23 @@ class LiveReceiver:
         self.zoom = None
 
         # Demod-view spectrum (the second SpectrumVisualProcessor instance,
-        # ref: src/CubicSDR.cpp:340,374): tracks ONE selected demod's IQ tap.
+        # ref: src/CubicSDR.cpp:340,374): tracks ONE selected demod's IQ
+        # tap. FUSED into the packed post-step — the selected row's tap is
+        # re-blocked + FFT'd on device and its display points ride the one
+        # packed pull, so selecting a demod costs no extra D2H round-trip.
         self.demod_view: Optional[int] = None    # flat (group-order) index
         self.demod_view_fft = 256
         self.demod_spectrum: Optional[np.ndarray] = None
-        self._dv_spec = spec_cls(self.demod_view_fft)
-        self._dv_apply = jax.jit(self._dv_spec.apply)
-        self._dv_state = self._dv_spec.init_state()
-        self._dv_carry = np.zeros((2, 0), np.float32)
+        self._spec_cls = spec_cls
+        self._dv_gi: Optional[int] = None        # group of the viewed row
+        self._dv_off = 0                         # flat offset of that group
+        self._dv_dist = None
+        self._dv_spec = None
+        self._st_dv: tuple = ()
 
         self._stop = threading.Event()
+        self._stage_pool = None          # lazy 1-thread H2D staging worker
+        self._staged = None              # in-flight staged-block future
         self._producer: Optional[threading.Thread] = None
         self._producer_gen = 0               # bumped to retire a producer
         self.source_error: Optional[Exception] = None
@@ -287,6 +294,9 @@ class LiveReceiver:
             if row_keys is not None:
                 self.row_keys = list(row_keys)
             self.planar = getattr(pipeline, "dtype", None) == PLANAR
+            # Flat indices (and group tap shapes) change with the plan:
+            # drop the demod view atomically with the swap.
+            self._set_demod_view_locked(None)
             if not format_changed:
                 return
             # Format change: ring / visual chain / packed post-step are
@@ -306,62 +316,98 @@ class LiveReceiver:
             self._st_spec = self.spec.init_state()
             self._post = self._make_post()
         self.zoom = None                     # view rates changed
-        self.set_demod_view(None)
 
     # --- consumer: ring -> compiled step -> sinks ---
+    def _stage_block(self, L: int):
+        """Read one block from the ring and start its host->device
+        transfer. Runs on the staging worker so the put of block i+1
+        overlaps block i's packed device->host pull (double-buffered H2D;
+        on a synchronous transport the put blocks HERE, not on the
+        consumer). Returns (iq_device, host_planes, L) or None."""
+        jnp = self._jnp
+        got = self.ring.read(L)
+        if got is None:
+            return None
+        re, im = got
+        if self.ingest_dtype != np.float32:
+            # Raw wire planes: converted on-device by the step.
+            iq = (jnp.asarray(re), jnp.asarray(im))
+        elif self.planar:
+            iq = PC(jnp.asarray(re), jnp.asarray(im))
+        else:
+            iq = jnp.asarray(re) + 1j * jnp.asarray(im)
+        return iq, (re, im), L
+
     def run_blocks(self, max_blocks: Optional[int] = None,
                    wait: bool = True) -> int:
         """Consume ring blocks through the compiled step with ONE block of
         dispatch lookahead: block i's step is enqueued (async under XLA),
         then block i-1's host fanout (waterfall lines, audio tap/sinks,
         recorders — the parts that force device->host pulls) runs while
-        the device computes block i. Host-side work and device compute
-        overlap instead of strictly alternating — the TPU shape of the
-        reference's producer/consumer thread overlap
-        (ref: src/sdr/SDRPostThread.cpp:152-199 pop-while-upstream-reads).
-        """
-        jnp = self._jnp
+        the device computes block i. Block i+1's host->device put is
+        staged on a worker thread during that same window, so on a
+        transport-bound link the wire carries the next block while the
+        consumer waits on the current block's packed pull. Host-side
+        work, H2D transfer and device compute overlap instead of strictly
+        alternating — the TPU shape of the reference's producer/consumer
+        thread overlap (ref: src/sdr/SDRPostThread.cpp:152-199
+        pop-while-upstream-reads)."""
+        pool = self._stage_pool
+        if pool is None:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = self._stage_pool = ThreadPoolExecutor(1, "cs-stage")
         n = 0
         pending = None                  # (iq, out, planes) awaiting fanout
         while not self._stop.is_set():
             if max_blocks is not None and n >= max_blocks:
                 break
+            L = self.pipeline.block_len
+            if self._staged is None:
+                self._staged = pool.submit(self._stage_block, L)
+            blk = self._staged.result()
+            self._staged = None
+            if blk is not None and blk[2] != self.pipeline.block_len:
+                # A plan swap changed the block format between staging
+                # and dispatch: the staged samples belong to the old
+                # format and are dropped (format swaps rebuild the ring
+                # anyway).
+                self.metrics.tick("pipeline", 0, dropped=blk[2])
+                blk = None
             dispatched = None
-            with self.step_lock:
-                # Block size re-read under the lock: a control-plane plan
-                # swap (webview add/remove demod) may change the compiled
-                # block size mid-stream.
-                L = self.pipeline.block_len
-                got = self.ring.read(L)
-                if got is not None:
-                    re, im = got
-                    if self.ingest_dtype != np.float32:
-                        # Raw wire planes: converted on-device by the step.
-                        iq = (jnp.asarray(re), jnp.asarray(im))
-                    elif self.planar:
-                        iq = PC(jnp.asarray(re), jnp.asarray(im))
-                    else:
-                        iq = jnp.asarray(re) + 1j * jnp.asarray(im)
+            if blk is not None:
+                iq, planes, _ = blk
+                with self.step_lock:
                     self.state, out = self.step(self.state,
                                                 (iq, self.controls))
                     # The packed post-step rides the device queue right
                     # behind its own step; only the host PULL is deferred
                     # one block (_fanout_finish below).
                     disp = self._fanout_dispatch(iq, out)
-                    self.metrics.tick("pipeline", L)
-                    n += 1
-                    dispatched = (disp, iq, out, (re, im))
+                    L2 = self.pipeline.block_len
+                self.metrics.tick("pipeline", L)
+                n += 1
+                dispatched = (disp, iq, out, planes)
+                # Stage block n+1 while block n computes and block n-1's
+                # fanout pulls. The staged future persists on self so a
+                # bounded run_blocks call hands its lookahead block to
+                # the next call instead of dropping those samples.
+                self._staged = pool.submit(self._stage_block, L2)
             if dispatched is None:
                 if pending is not None:     # starved: drain the lookahead
                     self._fanout_finish(*pending)
                     pending = None
                 if not wait or (self._producer is not None
                                 and not self._producer.is_alive()):
+                    # A stage that raced the producer's final writes may
+                    # have returned empty while blocks remain: drain the
+                    # ring before concluding the stream is over.
+                    if self.ring.fill >= self.pipeline.block_len:
+                        continue
                     break
                 self._stop.wait(0.001)
                 continue
             if pending is not None:
-                self._fanout_finish(*pending)   # overlaps block n's compute
+                self._fanout_finish(*pending)   # overlaps n's compute
             pending = dispatched
         if pending is not None:
             self._fanout_finish(*pending)
@@ -398,42 +444,46 @@ class LiveReceiver:
         """Runtime display parameters (ref: AppFrame per-canvas FFT size /
         averaging speed / lines-per-second menus, src/AppFrame.cpp:
         2320-2352): rebuilds only the affected visual programs, carrying
-        the smoothed display state so the waterfall never blanks."""
-        import jax
+        the smoothed display state so the waterfall never blanks. The
+        swap happens under the step lock: the consumer dispatches the
+        (donating) packed post-step inside its locked section, so a
+        half-replaced visual chain must never be observable there."""
         jnp = self._jnp
         dt = PLANAR if self.planar else jnp.complex64
-        rebuild = False
-        if lps is not None and float(lps) != self.dist.lps:
-            self.dist = FFTDataDistributor(
-                self.spec.fft_size * 2, self.pipeline.sample_rate,
-                lines_per_second=float(lps),
-                block_len=self.pipeline.block_len, dtype=dt)
-            # Same state shapes (history + pacer phase): carry continuity.
-            rebuild = True
-        core = getattr(self.spec, "core", self.spec)
-        if ((fft_average_rate is not None
-             and float(fft_average_rate) != core.rate)
-                or (peak_hold is not None
-                    and bool(peak_hold) != core.peak_hold)):
-            spec_cls = type(self.spec)
-            self.spec = spec_cls(
-                self.spec.fft_size,
-                float(fft_average_rate) if fft_average_rate is not None
-                else core.rate,
-                peak_hold=bool(peak_hold) if peak_hold is not None
-                else core.peak_hold)
-            rebuild = True
-        if rebuild:
-            self._post = self._make_post()
-        if demod_view_fft is not None \
-                and int(demod_view_fft) != self.demod_view_fft:
-            self.demod_view_fft = int(demod_view_fft)
-            spec_cls = type(self._dv_spec)
-            self._dv_spec = spec_cls(self.demod_view_fft)
-            self._dv_apply = jax.jit(self._dv_spec.apply)
-            self._dv_state = self._dv_spec.init_state()
-            self._dv_carry = np.zeros((2, 0), np.float32)
-            self.demod_spectrum = None
+        with self.step_lock:
+            rebuild = False
+            if lps is not None and float(lps) != self.dist.lps:
+                self.dist = FFTDataDistributor(
+                    self.spec.fft_size * 2, self.pipeline.sample_rate,
+                    lines_per_second=float(lps),
+                    block_len=self.pipeline.block_len, dtype=dt)
+                # Same state shapes (history + pacer phase): continuity.
+                rebuild = True
+            core = getattr(self.spec, "core", self.spec)
+            if ((fft_average_rate is not None
+                 and float(fft_average_rate) != core.rate)
+                    or (peak_hold is not None
+                        and bool(peak_hold) != core.peak_hold)):
+                spec_cls = type(self.spec)
+                self.spec = spec_cls(
+                    self.spec.fft_size,
+                    float(fft_average_rate) if fft_average_rate is not None
+                    else core.rate,
+                    peak_hold=bool(peak_hold) if peak_hold is not None
+                    else core.peak_hold)
+                rebuild = True
+            if demod_view_fft is not None \
+                    and int(demod_view_fft) != self.demod_view_fft:
+                self.demod_view_fft = int(demod_view_fft)
+                self.demod_spectrum = None
+                if self._dv_gi is not None:
+                    # Rebuild the fused dv program at the new FFT size
+                    # (state shapes change with it).
+                    idx = self.demod_view
+                    self.demod_view = None       # force a full rebuild
+                    self._set_demod_view_locked(idx)
+            if rebuild:
+                self._post = self._make_post()
 
     def display_params(self) -> dict:
         core = getattr(self.spec, "core", self.spec)
@@ -459,8 +509,11 @@ class LiveReceiver:
         """Configure one of N named host output sinks (the reference's
         per-demod output-device routing: several devices run at once,
         each mixing its bound demods, ref: src/audio/AudioThread.cpp:
-        370-442). ``demods`` = flat row indices mixed host-side for this
-        sink; None = the device-mixed full mix. backend None removes."""
+        370-442). ``demods`` = STABLE row keys (instance ids when the
+        control plane registered row_keys, else flat row indices) mixed
+        host-side for this sink — key-addressed so a plan rebuild that
+        reorders rows never redirects another demod's audio into this
+        sink. None = the device-mixed full mix. backend None removes."""
         from cubicsdr_tpu.io.audio_out import AudioOutput
         old = self.audio_sinks.pop(name, None)
         if old is not None:
@@ -472,19 +525,24 @@ class LiveReceiver:
                                   backend=str(backend), device=device)
         self.audio_sinks[name] = {
             "output": backend,
-            "demods": None if demods is None else [int(i) for i in demods]}
+            "demods": None if demods is None else list(demods)}
 
-    def set_audio_solo(self, idx: Optional[int]):
-        """Route ONE demod (flat group-order index) to the host device
-        instead of the mix (the reference's per-demod output-device
-        routing, ref: AudioThread per-device bound threads)."""
-        self.audio_solo = None if idx is None else int(idx)
+    def set_audio_solo(self, key):
+        """Route ONE demod (stable row key — see set_audio_sink) to the
+        host device instead of the mix (the reference's per-demod
+        output-device routing, ref: AudioThread per-device bound
+        threads). None restores the mix."""
+        self.audio_solo = key
 
-    def _subset_mix(self, hgroups, demods) -> Optional[np.ndarray]:
+    def _subset_mix(self, hgroups, demods, keys, ctls
+                    ) -> Optional[np.ndarray]:
         """Host-side mix of a demod subset for one sink: gain-weighted
         active rows summed, peak-normalized above 1.0 — the per-device
         mixing math of the reference's audioCallback
-        (ref: src/audio/AudioThread.cpp:174-240)."""
+        (ref: src/audio/AudioThread.cpp:174-240). ``keys``/``ctls`` are
+        the DISPATCH-time row identities and (gain, active) snapshots of
+        this block: a plan swap between dispatch and this deferred finish
+        must neither shift rows nor index fresh control arrays."""
         sel = set(demods)
         acc, off = None, 0
         for gi, h in enumerate(hgroups):
@@ -492,10 +550,10 @@ class LiveReceiver:
             if "audio" not in h:
                 off += rows
                 continue
-            ctl = self.controls[gi]
+            gain, active = ctls[gi]
             for ri in range(rows):
-                if (off + ri) in sel and bool(ctl["active"][ri]):
-                    a = h["audio"][ri] * float(ctl["gain"][ri])
+                if keys[off + ri] in sel and bool(active[ri]):
+                    a = h["audio"][ri] * float(gain[ri])
                     if a.shape[0] == 1:
                         a = np.concatenate([a, a])
                     acc = a.copy() if acc is None else acc + a
@@ -507,62 +565,61 @@ class LiveReceiver:
             acc = acc / peak
         return acc
 
-    def _solo_audio(self, hgroups) -> Optional[np.ndarray]:
-        """One demod's audio from the packed host groups (no extra pull)."""
-        idx, off = self.audio_solo, 0
+    def _solo_audio(self, hgroups, keys) -> Optional[np.ndarray]:
+        """One demod's audio from the packed host groups (no extra pull),
+        located by its stable row key."""
+        solo, off = self.audio_solo, 0
         for h in hgroups:
             rows = h["level"].shape[0]
-            if idx < off + rows:
-                if "audio" not in h:
-                    return None              # digital group: no audio
-                a = h["audio"][idx - off]
-                return np.concatenate([a, a]) if a.shape[0] == 1 else a
+            for ri in range(rows):
+                if keys[off + ri] == solo:
+                    if "audio" not in h:
+                        return None          # digital group: no audio
+                    a = h["audio"][ri]
+                    return (np.concatenate([a, a]) if a.shape[0] == 1
+                            else a)
             off += rows
         return None
 
     def set_demod_view(self, idx: Optional[int]):
         """Select which demod's IQ tap feeds the demod-view spectrum
-        (flat group-order index; None disables)."""
-        if idx != self.demod_view:
-            self.demod_view = idx
-            self._dv_state = self._dv_spec.init_state()
-            self._dv_carry = np.zeros((2, 0), np.float32)
-            self.demod_spectrum = None
+        (flat group-order index; None disables). The view is computed
+        in-graph by the packed post-step (rebuilt here), so it adds no
+        per-block device round-trip."""
+        with self.step_lock:
+            self._set_demod_view_locked(idx)
 
-    @staticmethod
-    def _tap_planes(g, row) -> np.ndarray:
-        """One demod's IQ tap as float32 planes [2, L] (host-side)."""
-        tap = g["iq"]
-        if isinstance(tap, PC):
-            return np.stack([np.asarray(tap.re[row]),
-                             np.asarray(tap.im[row])])
-        t = np.asarray(tap[row])
-        if t.ndim == 2:                       # already (re, im) rows
-            return t.astype(np.float32)
-        return np.stack([t.real.astype(np.float32),
-                         t.imag.astype(np.float32)])
-
-    def _demod_view_fanout(self, out):
-        idx, off = self.demod_view, 0
-        for g in out["groups"]:
-            n = g["level"].shape[0]
-            if idx < off + n:
-                planes = self._tap_planes(g, idx - off)
-                buf = np.concatenate([self._dv_carry, planes], axis=-1)
-                F = 2 * self.demod_view_fft   # ×2 internal FFT (VZM)
-                n_fr = min(buf.shape[-1] // F, 8)
-                if n_fr:
-                    fr = buf[:, : n_fr * F].reshape(2, n_fr, F)
-                    frames = (PC(self._jnp.asarray(fr[0]),
-                                 self._jnp.asarray(fr[1])) if self.planar
-                              else self._jnp.asarray(fr[0] + 1j * fr[1]))
-                    self._dv_state, disp = self._dv_apply(
-                        self._dv_state, frames)
-                    self.demod_spectrum = np.asarray(
-                        disp["spectrum_points"])
-                self._dv_carry = buf[:, n_fr * F:][:, -4 * F:]
-                return
-            off += n
+    def _set_demod_view_locked(self, idx: Optional[int]):
+        if idx == self.demod_view and (idx is None
+                                       or self._dv_gi is not None):
+            return
+        self.demod_view = idx
+        self.demod_spectrum = None
+        self._dv_gi, self._dv_off = None, 0
+        self._st_dv = ()
+        if idx is not None:
+            off = 0
+            for gi, g in enumerate(getattr(self.pipeline, "groups", ())):
+                if idx < off + g.count:
+                    self._dv_gi, self._dv_off = gi, off
+                    break
+                off += g.count
+        if self._dv_gi is not None:
+            # Re-block the selected row's bandwidth-rate tap to the view
+            # FFT size on device (the demod-view SpectrumVisualProcessor
+            # chain, ref: src/CubicSDR.cpp:340,374). Fresh distributor:
+            # its block_len latches to the tap length at first trace.
+            rate = float(self.pipeline.frontends[self._dv_gi].bandwidth)
+            dt = PLANAR if self.planar else self._jnp.complex64
+            self._dv_dist = FFTDataDistributor(
+                self.demod_view_fft * 2, rate,
+                lines_per_second=self.dist.lps, dtype=dt)
+            self._dv_spec = self._spec_cls(self.demod_view_fft)
+            self._st_dv = (self._dv_dist.init_state(),
+                           self._dv_spec.init_state())
+        # New jit closure: the dv program (distributor geometry, FFT
+        # size) changed in ways arg-structure-keyed retracing can't see.
+        self._post = self._make_post()
 
     def _make_post(self):
         """Compile the post-step: the visual chain (distributor re-block +
@@ -578,7 +635,8 @@ class LiveReceiver:
         import jax
         jnp = self._jnp
 
-        def _post(st_dist, st_spec, x, mix, g_parts):
+        def _post(sts, x, mix, g_parts, dv_tap, dv_row):
+            st_dist, st_spec, st_dv = sts
             st_dist, (frames, valid) = self.dist.apply(st_dist, x)
             st_spec, disp = self.spec.apply(st_spec, frames, valid=valid)
             parts = [disp["spectrum_points"].ravel(),
@@ -591,9 +649,24 @@ class LiveReceiver:
                 for k in ("squelched", "symbols", "audio"):
                     if gp[k] is not None:
                         parts.append(gp[k].astype(jnp.float32).ravel())
-            return st_dist, st_spec, jnp.concatenate(parts)
+            if dv_tap is not None:
+                # Demod-view spectrum fused in-graph: the selected row's
+                # bandwidth-rate tap (dynamic row index — switching rows
+                # within a group reuses the compiled program) re-blocked
+                # and EMA'd like the main spectrum, its points riding the
+                # same packed pull (ref: the second SpectrumVisualData
+                # Thread, src/CubicSDR.cpp:340,374).
+                tap = (PC(dv_tap.re[dv_row], dv_tap.im[dv_row])
+                       if isinstance(dv_tap, PC) else dv_tap[dv_row])
+                st_dvd, st_dvs = st_dv
+                st_dvd, (dfr, dval) = self._dv_dist.apply(st_dvd, tap)
+                st_dvs, ddisp = self._dv_spec.apply(st_dvs, dfr,
+                                                    valid=dval)
+                parts.append(ddisp["spectrum_points"].ravel())
+                st_dv = (st_dvd, st_dvs)
+            return (st_dist, st_spec, st_dv), jnp.concatenate(parts)
 
-        return jax.jit(_post, donate_argnums=(0, 1))
+        return jax.jit(_post, donate_argnums=(0,))
 
     def row_key(self, fi: int):
         """Stable identity of flat row ``fi`` (instance id when the
@@ -669,22 +742,36 @@ class LiveReceiver:
         would wait behind the NEXT block's compute). Returns the pending
         device handle for _fanout_finish."""
         mix_dev, g_parts = self._pack_parts(out)
+        dv_tap = dv_row = None
+        dv_n = 0
+        if self._dv_gi is not None and self._dv_gi < len(out["groups"]):
+            dv_tap = out["groups"][self._dv_gi]["iq"]
+            dv_row = np.int32(self.demod_view - self._dv_off)
+            dv_n = self.demod_view_fft
         # The visual chain taps out["iq"] — the (converted-f32) full-band
         # block the compiled step saw.
-        self._st_dist, self._st_spec, packed = self._post(
-            self._st_dist, self._st_spec, out["iq"], mix_dev, g_parts)
-        # Snapshot everything the deferred finish needs AT DISPATCH: the
-        # split geometry (spec may be swapped by a plan rebuild before the
-        # lookahead finish runs) and the row identities of THIS block.
+        (self._st_dist, self._st_spec, self._st_dv), packed = self._post(
+            (self._st_dist, self._st_spec, self._st_dv),
+            out["iq"], mix_dev, g_parts, dv_tap, dv_row)
+        # Snapshot everything the deferred finish needs AT DISPATCH (we
+        # hold the step lock here): the split geometry (spec may be
+        # swapped by a plan rebuild before the lookahead finish runs),
+        # the row identities of THIS block, and the per-row (gain,
+        # active) control values — the finish thread must never index
+        # control arrays a concurrent swap may have replaced with
+        # fewer/reordered rows.
         n_rows = sum(gp["level"].shape[0] for gp in g_parts)
         keys = [self.row_key(i) for i in range(n_rows)]
-        return (packed, mix_dev, g_parts, self.spec.fft_size, keys)
+        ctls = [(np.array(c["gain"], np.float32),
+                 np.array(c["active"], bool)) for c in self.controls]
+        return (packed, mix_dev, g_parts, self.spec.fft_size, keys, ctls,
+                dv_n)
 
     def _fanout(self, iq, out, planes=None):
         self._fanout_finish(self._fanout_dispatch(iq, out), iq, out, planes)
 
     def _fanout_finish(self, disp, iq, out, planes=None):
-        packed, mix_dev, g_parts, P, keys = disp
+        packed, mix_dev, g_parts, P, keys, ctls, dv_n = disp
         host = np.asarray(packed)            # the ONE device->host pull
         pts = host[:P]
         nv = int(host[P])
@@ -711,6 +798,10 @@ class LiveReceiver:
                 h["iq"] = g["iq"]     # device tap: pulled only on demand
             hgroups.append(h)
 
+        if dv_n:
+            # Demod-view points computed in-graph, part of the one pull.
+            self.demod_spectrum = take((dv_n,)).copy()
+
         if nv:
             self.waterfall.add_lines(np.tile(pts, (nv, 1)))
         # Zoomed spectrum view, when active (host planes: no pull).
@@ -719,9 +810,6 @@ class LiveReceiver:
             if p.dtype != np.float32:
                 p = p.astype(np.float32) * self.ingest_scale
             self.zoom.feed(p)
-        # Demod-view spectrum from the selected demod's IQ tap.
-        if self.demod_view is not None:
-            self._demod_view_fanout(out)
         # Mix audio tap for live listeners.
         if mix is not None:
             with self.audio_cond:
@@ -730,11 +818,12 @@ class LiveReceiver:
                 self.audio_cond.notify_all()
             for name, sink in list(self.audio_sinks.items()):
                 if name == "default" and self.audio_solo is not None:
-                    a = self._solo_audio(hgroups)
+                    a = self._solo_audio(hgroups, keys)
                 elif sink["demods"] is None:
                     a = mix
                 else:
-                    a = self._subset_mix(hgroups, sink["demods"])
+                    a = self._subset_mix(hgroups, sink["demods"],
+                                         keys, ctls)
                 if a is not None:
                     try:
                         sink["output"].write(a)
@@ -782,6 +871,9 @@ class LiveReceiver:
                 pass
         if self._producer is not None:
             self._producer.join(timeout=2.0)
+        if self._stage_pool is not None:
+            self._stage_pool.shutdown(wait=True)
+            self._stage_pool = self._staged = None
         for r in self._recorders.values():
             r.close()
         for s in self.audio_sinks.values():

@@ -532,6 +532,31 @@ class WebViewer:
             return list(self.mgr.get_demodulators()) if self.mgr else []
         return [d for ds in self.keyed.values() for d in ds]
 
+    def _row_key_for(self, d):
+        """The stable row key of instance ``d`` as the receiver resolves
+        it (instance id when row_keys are registered, else the flat row
+        index)."""
+        for fi, x in enumerate(self._flat_order()):
+            if x is d:
+                return self.receiver.row_key(fi)
+        raise IndexError("demod not in the current plan")
+
+    def _key_mgr_index(self, key):
+        """mgr index of a stable row key (for status JSON); None if the
+        key no longer resolves."""
+        if key is None or self.mgr is None:
+            return None
+        flat = self._flat_order()
+        r = self.receiver
+        fi = next((i for i in range(len(flat)) if r.row_key(i) == key),
+                  None)
+        if fi is None:
+            return None
+        d = flat[fi]
+        return next((mi for mi, x in
+                     enumerate(self.mgr.get_demodulators()) if x is d),
+                    None)
+
     def state_json(self) -> dict:
         r = self.receiver
         demods = []
@@ -568,7 +593,7 @@ class WebViewer:
             "record": {"path": r.record_path,
                        "squelch": int(r._rec_opts[0]),
                        "time_limit": r._rec_opts[1]},
-            "audio_solo": r.audio_solo,
+            "audio_solo": self._key_mgr_index(r.audio_solo),
         }
 
     def spectrum_json(self) -> dict:
@@ -1085,12 +1110,15 @@ class WebViewer:
             name = str(cmd.get("name", "default"))
             demods = cmd.get("demods")
             if demods is not None:
-                flat = self._flat_order()
+                # Subsets are stored as STABLE instance ids and resolved
+                # to rows at fanout time against the block's dispatch
+                # keys — a plan rebuild that reorders/removes rows can
+                # never route another demod's audio into this sink.
                 all_d = self.mgr.get_demodulators() if self.mgr else []
                 try:
-                    sel = [next(fi for fi, x in enumerate(flat)
-                                if x is all_d[int(i)]) for i in demods]
-                except (IndexError, StopIteration):
+                    sel = [self._row_key_for(all_d[int(i)])
+                           for i in demods]
+                except IndexError:
                     return {"ok": False,
                             "error": f"bad demod index in {demods}"}
                 r.set_audio_sink(name, cmd.get("backend"),
@@ -1108,10 +1136,9 @@ class WebViewer:
             if idx is None:
                 r.set_audio_solo(None)
             else:
-                d = self.mgr.get_demodulators()[int(idx)]
-                flat = self._flat_order()
-                r.set_audio_solo(
-                    next(fi for fi, x in enumerate(flat) if x is d))
+                # Stable row key (instance id): survives plan rebuilds.
+                r.set_audio_solo(self._row_key_for(
+                    self.mgr.get_demodulators()[int(idx)]))
         elif action == "view" and self.mgr is not None:
             # Select the demod-view spectrum target (mgr index or null).
             idx = cmd.get("index")
@@ -1306,17 +1333,25 @@ class WebViewer:
         if not rate_changed:
             state = _carry_streaming_state(old_rx, old_state, old_keyed,
                                            pipeline, keyed, state)
-        r.set_demod_view(None)       # flat indices change with the plan
         self._consoles.clear()
         # Recorders/recording flags are keyed by INSTANCE id (row_keys),
         # so a rebuild only needs the new row order registered and the
-        # sinks of REMOVED demods finalized.
+        # sinks of REMOVED demods finalized. (The demod view resets
+        # inside swap_pipeline, atomically with the row swap.)
         new_flat = [d for ds in keyed.values() for d in ds]
         live_ids = {d._id for d in new_flat}
         for rid in [k for k in r._recorders if k not in live_ids]:
             r._recorders.pop(rid).close()
         r.rec_override = {k: v for k, v in r.rec_override.items()
                           if k in live_ids}
+        # Audio routing is key-addressed too: prune subset/solo keys of
+        # removed demods (a sink with an emptied subset stays attached
+        # and plays silence, like an unplugged bound thread).
+        for s in r.audio_sinks.values():
+            if s["demods"] is not None:
+                s["demods"] = [k for k in s["demods"] if k in live_ids]
+        if r.audio_solo is not None and r.audio_solo not in live_ids:
+            r.audio_solo = None
         with self._lock:
             self.keyed = keyed
             r.swap_pipeline(pipeline, controls, state,
@@ -1386,7 +1421,8 @@ class WebViewer:
                             "backend": (viewer.receiver.audio_output.backend
                                         if viewer.receiver.audio_output
                                         else None),
-                            "solo": viewer.receiver.audio_solo,
+                            "solo": viewer._key_mgr_index(
+                                viewer.receiver.audio_solo),
                             "sinks": {
                                 n: {"backend": s["output"].backend,
                                     "demods": s["demods"]}

@@ -150,7 +150,11 @@ class SampleRing:
             self._mu = threading.Lock()
 
     def _vp(self, a: np.ndarray):
-        return ctypes.c_void_p(np.ascontiguousarray(a).ctypes.data)
+        # The caller must keep ``a`` alive and contiguous for the C call:
+        # a silent ascontiguousarray copy here would be a temporary whose
+        # pointer can dangle before the callee consumes it.
+        assert a.flags.c_contiguous, "pass a C-contiguous array to _vp"
+        return ctypes.c_void_p(a.ctypes.data)
 
     def write(self, re: np.ndarray, im: np.ndarray) -> bool:
         n = len(re)

@@ -357,9 +357,22 @@ def _signal_precision():
     THE SAME 85.3 dB on-chip audio SNR as the 6-pass HIGHEST at +11%
     throughput (121 vs 108 MS/s) — the stage is HBM-bound, so the extra
     three passes of HIGHEST buy nothing. Override with
-    ``CUBICSDR_XLA_PRECISION=highest|default``."""
+    ``CUBICSDR_XLA_PRECISION=highest|default``.
+
+    The HIGH default is gated on the TPU backend: the A/B evidence is
+    TPU-only, and on GPU ``Precision.HIGH`` selects tf32 (~10-bit
+    mantissa), which would silently degrade signal-path SNR relative to
+    HIGHEST. Non-TPU backends therefore default to HIGHEST (exact f32 on
+    CPU either way)."""
     import os
-    name = os.environ.get("CUBICSDR_XLA_PRECISION", "high").lower()
+    name = os.environ.get("CUBICSDR_XLA_PRECISION", "").lower()
+    if not name:
+        try:
+            is_tpu = jax.default_backend() not in ("cpu", "gpu", "cuda",
+                                                   "rocm")
+        except Exception:                    # noqa: BLE001 — no backend
+            is_tpu = False
+        name = "high" if is_tpu else "highest"
     return {"high": jax.lax.Precision.HIGH,
             "highest": jax.lax.Precision.HIGHEST,
             "default": jax.lax.Precision.DEFAULT}[name]
