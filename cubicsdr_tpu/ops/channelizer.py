@@ -186,13 +186,10 @@ class ChannelizerPFB2(StreamOp):
         self.batch_shape = batch_shape
         self.dtype = dtype
         self.fast_math = fast_math
-        if use_pallas and self.D % 8 != 0:
-            # Mosaic sublane tiling: the kernel's buffers are [D, lanes]
-            # f32 with D-row sublane slices, so D must be a multiple of 8.
-            # Measured on hardware at M=6 (2.4 MS/s capture -> 6 channels):
-            # "Slice shape along dimension 0 must be aligned to tiling".
-            # Demote to the XLA path — same math, still planar.
-            use_pallas = False
+        # D % 8 != 0 (M=6 at 2.4 MS/s, M=10 at 4.8 MS/s) runs through the
+        # kernel's sublane-padded layout (ops/pallas/pfb.py) — the round-4
+        # Mosaic compile failure ("Slice shape along dimension 0 must be
+        # aligned to tiling") is fixed by padding, not by demoting to XLA.
         self.use_pallas = use_pallas
         if use_pallas:
             assert dtype == PLANAR and batch_shape == (), (

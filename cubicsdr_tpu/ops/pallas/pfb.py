@@ -112,17 +112,30 @@ def pfbch2_planar_pallas(z_re, z_im, h_poly, M: int,
     """z planes [hist + L] (hist = (2J-1)*D) -> channel planes [M, L//D].
 
     h_poly: [M, J] float32 prototype branches. Returns (chans_re, chans_im).
+
+    Sublane padding: Mosaic's f32 tiling needs every sublane slice length
+    to be a multiple of 8, but real capture rates give D = M/2 that isn't
+    (M=6 at 2.4 MS/s, M=10 at 4.8 MS/s — numChannels = ceil(rate/500k)
+    forced even, ref: src/sdr/SoapySDRThread.cpp:676-693). The kernel
+    therefore runs on D and M padded up to the 8-row tile: the stream
+    planes gain Dp-D zero sublanes, the polyphase taps and DFT columns
+    gain matching zero rows/columns (zero taps x zero data contribute
+    nothing), and the Mp-M dead output channels are sliced off at the
+    end. When D%8 == 0 the padding is empty and the layout is unchanged.
     """
     interpret = interpret or INTERPRET
     D = M // 2
+    Dp = -(-D // 8) * 8                  # sublane-padded branch count
+    Mp = -(-M // 8) * 8                  # sublane-padded channel count
     J = h_poly.shape[1]
     hist = (2 * J - 1) * D
     L = z_re.shape[-1] - hist
     assert L % D == 0
     n_steps = L // D
-    # TPU lane tiling: an output block (M, T) needs T % 128 == 0 unless the
-    # block covers the whole array (T == n_steps). Prefer a 128-multiple
-    # divisor of n_steps; otherwise zero-pad the tail tile and slice it off.
+    # TPU lane tiling: an output block (Mp, T) needs T % 128 == 0 unless
+    # the block covers the whole array (T == n_steps). Prefer a
+    # 128-multiple divisor of n_steps; otherwise zero-pad the tail tile
+    # and slice it off.
     T, pad = _pick_tile(n_steps, tile)
     grid = ((n_steps + pad) // T,)
     whole = grid[0] == 1
@@ -133,10 +146,14 @@ def pfbch2_planar_pallas(z_re, z_im, h_poly, M: int,
         z_re = jnp.pad(z_re, (0, (pad + pad_rows) * D))
         z_im = jnp.pad(z_im, (0, (pad + pad_rows) * D))
 
-    # [D, rows]: one XLA transpose in HBM so the kernel sees time on lanes.
+    # [D, rows]: one XLA transpose in HBM so the kernel sees time on
+    # lanes; zero sublanes fill D..Dp.
     rows = (n_steps + pad) + 2 * J - 1 + pad_rows
     z2_re = z_re.reshape(rows, D).T
     z2_im = z_im.reshape(rows, D).T
+    if Dp != D:
+        z2_re = jnp.pad(z2_re, ((0, Dp - D), (0, 0)))
+        z2_im = jnp.pad(z2_im, ((0, Dp - D), (0, 0)))
 
     k = np.arange(M)
     c = np.exp(-2j * np.pi * k * (D - 1) / M)
@@ -144,40 +161,50 @@ def pfbch2_planar_pallas(z_re, z_im, h_poly, M: int,
     # Fold the window reversal (rho -> M-1-rho) into the constants: the
     # kernel then reads samples in natural order (no in-kernel `rev`).
     W = W[:, ::-1]
-    h_poly = np.asarray(h_poly)[::-1]
-    wr = jnp.asarray(np.ascontiguousarray(W.real).astype(np.float32))
-    wi = jnp.asarray(np.ascontiguousarray(W.imag).astype(np.float32))
+    h_rev = np.asarray(h_poly)[::-1]
+    # Padded layouts: taps as [2*Dp, J] halves (upper rows 0..D, lower
+    # rows Dp..Dp+D), DFT as [Mp, 2*Dp] with the M-1-rho column split
+    # relocated to the padded half boundary.
+    h_pad = np.zeros((2 * Dp, J), np.float32)
+    h_pad[:D] = h_rev[:D]
+    h_pad[Dp:Dp + D] = h_rev[D:]
+    w_r = np.zeros((Mp, 2 * Dp), np.float32)
+    w_i = np.zeros((Mp, 2 * Dp), np.float32)
+    w_r[:M, :D], w_r[:M, Dp:Dp + D] = W.real[:, :D], W.real[:, D:]
+    w_i[:M, :D], w_i[:M, Dp:Dp + D] = W.imag[:, :D], W.imag[:, D:]
+    wr = jnp.asarray(np.ascontiguousarray(w_r))
+    wi = jnp.asarray(np.ascontiguousarray(w_i))
 
-    kern = partial(_kernel, T=T, D=D, J=J, M=M, n_rows_dma=n_rows_dma,
+    kern = partial(_kernel, T=T, D=Dp, J=J, M=Mp, n_rows_dma=n_rows_dma,
                    whole=whole)
-    out_shape = [jax.ShapeDtypeStruct((M, n_steps + pad), jnp.float32)] * 2
+    out_shape = [jax.ShapeDtypeStruct((Mp, n_steps + pad), jnp.float32)] * 2
     cr, ci = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),       # z2_re (manual DMA)
             pl.BlockSpec(memory_space=pl.ANY),       # z2_im
-            pl.BlockSpec((M, J), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),      # h_poly (reversed)
-            pl.BlockSpec((M, M), lambda i: (0, 0),
+            pl.BlockSpec((2 * Dp, J), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),      # h (reversed, padded)
+            pl.BlockSpec((Mp, 2 * Dp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),      # Wr
-            pl.BlockSpec((M, M), lambda i: (0, 0),
+            pl.BlockSpec((Mp, 2 * Dp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),      # Wi
         ],
         out_specs=[
-            pl.BlockSpec((M, T), lambda i: (0, i),
+            pl.BlockSpec((Mp, T), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, T), lambda i: (0, i),
+            pl.BlockSpec((Mp, T), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((D, n_rows_dma), jnp.float32),
-            pltpu.VMEM((D, n_rows_dma), jnp.float32),
+            pltpu.VMEM((Dp, n_rows_dma), jnp.float32),
+            pltpu.VMEM((Dp, n_rows_dma), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
-    )(z2_re, z2_im, jnp.asarray(h_poly), wr, wi)
-    if pad:
-        cr, ci = cr[:, :n_steps], ci[:, :n_steps]
+    )(z2_re, z2_im, jnp.asarray(h_pad), wr, wi)
+    if pad or Mp != M:
+        cr, ci = cr[:M, :n_steps], ci[:M, :n_steps]
     return cr, ci

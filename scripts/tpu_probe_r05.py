@@ -1,0 +1,179 @@
+"""Round-5 on-chip probes.
+
+pfb_pad — compile + run the sublane-PADDED fused PFBCH2 kernel at the
+    channel counts real capture rates produce (M=6 at 2.4 MS/s, M=10 at
+    4.8 MS/s; forced-even ceil(rate/500k), ref: src/sdr/SoapySDRThread
+    .cpp:676-693), compare bit-close against the XLA channelizer ON THE
+    CHIP, and time both. Round 4 demoted these M to XLA because the
+    unpadded kernel failed Mosaic's sublane tiling at compile; this
+    verifies the padded layout fixes it (VERDICT r4 item 1).
+
+pipe24 — build the production 2.4 MS/s FM plan (M=6) with use_pallas and
+    run blocks end-to-end: the exact plan `serve`/soak uses must now
+    execute the fused kernel.
+
+h2d — transport micro-probe: is a host->device put issued from a second
+    thread overlapped with the consumer's device->host pull? Informs the
+    double-buffered staging design in app/runner.run_blocks.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def pfb_pad(args):
+    import jax
+    import jax.numpy as jnp
+    from cubicsdr_tpu.ops.channelizer import ChannelizerPFB2
+    from cubicsdr_tpu.ops.planar import PC, PLANAR
+
+    plat = jax.devices()[0].platform
+    for M in (6, 10):
+        D = M // 2
+        n_steps = 131072
+        L = n_steps * D
+        rng = np.random.default_rng(M)
+        xr = rng.standard_normal(L).astype(np.float32)
+        xi = rng.standard_normal(L).astype(np.float32)
+        x = PC(jnp.asarray(xr), jnp.asarray(xi))
+
+        res = {"tag": f"pfb_pad_M{M}", "platform": plat, "L": L}
+        outs = {}
+        times = {}
+        for name, up in (("xla", False), ("pallas", True)):
+            ch = ChannelizerPFB2(M, dtype=PLANAR, use_pallas=up)
+            step = jax.jit(ch.apply)
+            st = ch.init_state()
+            t0 = time.perf_counter()
+            st1, y = step(st, x)
+            jax.block_until_ready(y.re)
+            res[f"compile_s_{name}"] = round(time.perf_counter() - t0, 2)
+            n_it = 30
+            t0 = time.perf_counter()
+            st_i = st
+            for _ in range(n_it):
+                st_i, y = step(st_i, x)
+            jax.block_until_ready(y.re)
+            dt = time.perf_counter() - t0
+            times[name] = dt / n_it
+            outs[name] = (np.asarray(y.re), np.asarray(y.im))
+            res[f"msps_{name}"] = round(L * n_it / dt / 1e6, 1)
+        err = max(
+            float(np.max(np.abs(outs["xla"][0] - outs["pallas"][0]))),
+            float(np.max(np.abs(outs["xla"][1] - outs["pallas"][1]))))
+        scale = float(np.max(np.abs(outs["xla"][0])))
+        res["max_abs_err"] = round(err, 7)
+        res["rel_err"] = round(err / scale, 7)
+        res["ok"] = bool(err / scale < 1e-3)
+        print(json.dumps(res), flush=True)
+
+
+def pipe24(args):
+    import jax
+    import jax.numpy as jnp
+    from cubicsdr_tpu.ops.planar import PC, PLANAR
+    from cubicsdr_tpu.receiver import ReceiverPipeline, DemodGroupSpec
+
+    FS = 2_400_000
+    specs = [DemodGroupSpec("FM", 200000, 2)]
+    rx = ReceiverPipeline(FS, specs, dtype=PLANAR, use_pallas=True)
+    assert rx.M == 6, rx.M
+    assert rx.channelizer.use_pallas, "padded kernel must stay enabled"
+    controls = rx.control_template()
+    controls[0]["frequency"] = np.asarray([200e3, -400e3], np.float32)
+
+    L = rx.block_len
+    n = 4 * L
+    t = np.arange(n) / FS
+    msg = np.sin(2 * np.pi * 1000.0 * t)
+    iq_all = np.exp(1j * (2 * np.pi * 200e3 * t
+                          + 2 * np.pi * 75e3 * np.cumsum(msg) / FS)
+                    ).astype(np.complex64)
+    step = jax.jit(rx.apply, donate_argnums=(0,))
+    st = rx.init_state()
+    audio = []
+    t0 = time.perf_counter()
+    for b in range(4):
+        blk = iq_all[b * L:(b + 1) * L]
+        iq = PC(jnp.asarray(blk.real), jnp.asarray(blk.imag))
+        st, out = step(st, (iq, controls))
+        audio.append(np.asarray(out["groups"][0]["audio"][0, 0]))
+    dt = time.perf_counter() - t0
+    a = np.concatenate(audio)[len(audio[0]) // 2:]
+    X = np.abs(np.fft.rfft(a * np.hanning(len(a)))) ** 2
+    f = np.fft.rfftfreq(len(a), 1.0 / rx.audio_rate)
+    k = int(np.argmax(X))
+    sig = X[max(0, k - 3): k + 4].sum()
+    print(json.dumps({
+        "tag": "pipe24_m6_fused", "platform": jax.devices()[0].platform,
+        "fused_route": rx.fused_route, "block_len": L,
+        "tone_hz": round(float(f[k]), 1),
+        "snr_db": round(10 * np.log10(sig / max(X.sum() - sig, 1e-30)), 1),
+        "wall_s_4_blocks_incl_compile": round(dt, 2),
+        "ok": bool(abs(f[k] - 1000.0) < 5)}), flush=True)
+
+
+def h2d(args):
+    """Measure put->consume->pull with and without a staging thread."""
+    import threading
+    import jax
+    import jax.numpy as jnp
+
+    L = 1 << 20
+    rng = np.random.default_rng(0)
+    blocks = [(rng.standard_normal(L).astype(np.float32),
+               rng.standard_normal(L).astype(np.float32))
+              for _ in range(4)]
+    f = jax.jit(lambda a, b: (a.sum() + b.sum()))
+    float(f(jnp.asarray(blocks[0][0]), jnp.asarray(blocks[0][1])))
+
+    # Sequential: put, consume, pull, repeat.
+    n_it = 12
+    t0 = time.perf_counter()
+    for i in range(n_it):
+        re, im = blocks[i % 4]
+        float(f(jnp.asarray(re), jnp.asarray(im)))
+    seq = (time.perf_counter() - t0) / n_it
+
+    # Staged: a worker thread puts block i+1 while the main thread pulls
+    # block i's result.
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(1) as pool:
+        def stage(i):
+            re, im = blocks[i % 4]
+            return jnp.asarray(re), jnp.asarray(im)
+        fut = pool.submit(stage, 0)
+        t0 = time.perf_counter()
+        for i in range(n_it):
+            a, b = fut.result()
+            fut = pool.submit(stage, i + 1)
+            float(f(a, b))
+        staged = (time.perf_counter() - t0) / n_it
+    print(json.dumps({
+        "tag": "h2d_overlap", "platform": jax.devices()[0].platform,
+        "block_mb": round(2 * 4 * L / 1e6, 1),
+        "seq_s_per_block": round(seq, 3),
+        "staged_s_per_block": round(staged, 3),
+        "overlap_gain": round(seq / staged, 2)}), flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["pfb_pad", "pipe24", "h2d", "all"])
+    args = ap.parse_args()
+    if args.cmd in ("pfb_pad", "all"):
+        pfb_pad(args)
+    if args.cmd in ("pipe24", "all"):
+        pipe24(args)
+    if args.cmd in ("h2d", "all"):
+        h2d(args)
+
+
+if __name__ == "__main__":
+    main()

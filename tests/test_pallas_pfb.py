@@ -74,19 +74,50 @@ def test_pallas_pfb_pad_path():
     np.testing.assert_allclose(got, np.asarray(y_ref), atol=2e-4)
 
 
-def test_small_channel_count_demotes_to_xla():
-    """Mosaic sublane tiling needs D = M/2 to be a multiple of 8; smaller
-    channel counts (e.g. M=6 from a 2.4 MS/s capture) must silently take
-    the XLA path instead of failing to compile on hardware (measured:
-    'Slice shape along dimension 0 must be aligned to tiling (4), but is
-    3')."""
+def test_pallas_pfb_sublane_padded_channel_counts():
+    """D = M/2 that isn't a multiple of 8 — the channel counts REAL
+    capture rates produce (M=6 at 2.4 MS/s, M=10 at 4.8 MS/s; numChannels
+    = ceil(rate/500k) forced even, ref: src/sdr/SoapySDRThread.cpp:
+    676-693) — runs through the kernel's sublane-padded layout and
+    matches the XLA channelizer (round-4 hardware failure: 'Slice shape
+    along dimension 0 must be aligned to tiling')."""
+    rng = np.random.default_rng(3)
+    for M in (2, 6, 10):
+        ch = ChannelizerPFB2(M)
+        n_steps = 512
+        L = n_steps * (M // 2)
+        x = (rng.standard_normal(L) + 1j * rng.standard_normal(L)
+             ).astype(np.complex64)
+        st, y_ref = ch.apply(ch.init_state(), jnp.asarray(x))
+        z = np.concatenate([np.zeros(ch.hist_len, np.complex64), x])
+        yr, yi = pfbch2_planar_pallas(
+            jnp.asarray(z.real.copy()), jnp.asarray(z.imag.copy()),
+            np.asarray(ch.h_poly), M, tile=256, interpret=True)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        assert got.shape == (M, n_steps)
+        np.testing.assert_allclose(got, np.asarray(y_ref), atol=2e-4,
+                                   err_msg=f"M={M}")
+
+
+def test_small_channel_count_keeps_pallas():
+    """The padded kernel stays enabled at the channel counts real capture
+    rates produce — the flagship hot path must run in the flagship
+    scenario (ref: src/sdr/SDRPostThread.cpp:406)."""
     from cubicsdr_tpu.ops.channelizer import ChannelizerPFB2
     from cubicsdr_tpu.ops.planar import PC, PLANAR
+    import cubicsdr_tpu.ops.pallas.pfb as pfb
+    for M in (6, 10, 16):
+        ch = ChannelizerPFB2(M, dtype=PLANAR, use_pallas=True)
+        assert ch.use_pallas, M
+    # And the planar streaming path produces the right shapes through the
+    # interpreter.
     ch = ChannelizerPFB2(6, dtype=PLANAR, use_pallas=True)
-    assert not ch.use_pallas                  # demoted, not broken
-    L = 30 * ch.D
-    st, y = ch.apply(ch.init_state(),
-                     PC(jnp.ones(L, jnp.float32), jnp.zeros(L, jnp.float32)))
-    assert y.re.shape == (6, L // ch.D)
-    # Aligned counts keep the kernel.
-    assert ChannelizerPFB2(16, dtype=PLANAR, use_pallas=True).use_pallas
+    pfb.INTERPRET, old = True, pfb.INTERPRET
+    try:
+        L = 32 * ch.D
+        st, y = ch.apply(ch.init_state(),
+                         PC(jnp.ones(L, jnp.float32),
+                            jnp.zeros(L, jnp.float32)))
+        assert y.re.shape == (6, L // ch.D)
+    finally:
+        pfb.INTERPRET = old
