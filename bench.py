@@ -27,9 +27,15 @@ v5p-16 => 62.5 MS/s per chip.
   live16_i16 — live16 with NATIVE-FORMAT ingest: int16 wire planes (what
               CS16 SDR hardware emits) shipped host->device at half the
               bytes, converted to f32 on the device's vector units.
+  live16_i8 — the CS8 wire format (RTL-SDR class hardware): quarter the
+              f32 bytes through host memory and the host->device link.
 
-Flags: --only {demod16,demod256,live16,live16_i16} (repeatable; default:
-all), --demods N (extra custom config), --block L, --no-pallas.
+Every row is stamped with run-time context (host load average + the
+link's probed wire rate) so after-the-fact drift is attributable from
+the recorded JSON alone.
+
+Flags: --only {demod16,demod256,live16,live16_i16,live16_i8} (repeatable;
+default: all), --demods N (extra custom config), --block L, --no-pallas.
 """
 
 import argparse
@@ -75,10 +81,49 @@ def build_pipeline(n_demods: int = 16, block_len: int | None = None,
 BASELINE_PER_CHIP = 1000.0 / 16.0           # MS/s (north star / 16 chips)
 
 
+def _host_context() -> dict:
+    """Run-time context stamped onto EVERY row so after-the-fact drift
+    (±5-10% tunnel/host variance, BENCH.md) is attributable from the
+    JSON alone: host load average + the link's current wire rate."""
+    import os
+    ctx = {}
+    try:
+        ctx["host_load1"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    ctx["wire_mbps_probe"] = _wire_probe()
+    return ctx
+
+
+_WIRE_CACHE: list = []
+
+
+def _wire_probe() -> float:
+    """One put->consume->pull round measures the link's CURRENT wire rate
+    (the tunnel's varies hour to hour). Cached per process: one probe
+    describes all rows of a run."""
+    if _WIRE_CACHE:
+        return _WIRE_CACHE[0]
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(99)
+    blocks = [rng.standard_normal((2, 1 << 20)).astype(np.float32)
+              for _ in range(3)]
+    probe = jax.jit(lambda a, b: a.sum() + b.sum())
+    float(probe(blocks[0][0], blocks[0][1]))      # compile + warm
+    t0 = time.perf_counter()
+    for i in (1, 2):
+        float(probe(jnp.asarray(blocks[i][0]), jnp.asarray(blocks[i][1])))
+    mbps = round(2 * blocks[0].nbytes / (time.perf_counter() - t0) / 1e6, 1)
+    _WIRE_CACHE.append(mbps)
+    return mbps
+
+
 def _emit(metric: str, msps: float, extra: dict | None = None):
     row = {"metric": metric, "value": round(msps, 2),
            "unit": "Msamples/s",
            "vs_baseline": round(msps / BASELINE_PER_CHIP, 3)}
+    row.update(_host_context())
     if extra:
         row.update(extra)
     print(json.dumps(row), flush=True)
@@ -176,10 +221,11 @@ def bench_live(n_demods: int = 16, n_blocks: int = 240,
         def stop(self):
             self.stop_flag = True
 
-    # Transport self-calibration: one put->consume->pull round measures
-    # the link's CURRENT wire rate (the tunnel's varies hour to hour —
-    # BENCH.md variance note), so every recorded live row carries the
-    # roofline it ran against.
+    # Transport self-calibration AT THIS FORMAT: one put->consume->pull
+    # round measures the link's current wire rate for this row's actual
+    # plane dtype (the tunnel's varies hour to hour — BENCH.md variance
+    # note), so every recorded live row carries the roofline it ran
+    # against.
     import jax
     import jax.numpy as jnp
     probe = jax.jit(lambda a, b: (a.astype(jnp.float32).sum()
@@ -215,8 +261,9 @@ def bench_live(n_demods: int = 16, n_blocks: int = 240,
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", action="append",
-                    choices=["demod16", "demod256", "live16", "live16_i16"],
-                    help="run a subset (default: all four)")
+                    choices=["demod16", "demod256", "live16", "live16_i16",
+                             "live16_i8"],
+                    help="run a subset (default: all five)")
     ap.add_argument("--demods", type=int, default=None,
                     help="extra custom scan config with N demods")
     ap.add_argument("--block", type=int, default=None)
@@ -225,7 +272,8 @@ def main():
     args = ap.parse_args()
 
     up = False if args.no_pallas else None
-    configs = args.only or ["demod16", "demod256", "live16", "live16_i16"]
+    configs = args.only or ["demod16", "demod256", "live16", "live16_i16",
+                            "live16_i8"]
     if args.demods is not None:
         bench_scan(args.demods, args.block, up)
         return
@@ -238,6 +286,11 @@ def main():
     if "live16_i16" in configs:
         bench_live(16, args.live_blocks, args.block, up,
                    ingest_dtype=np.int16)
+    if "live16_i8" in configs:
+        # CS8 wire format (RTL-SDR class hardware): quarter the bytes of
+        # f32 through host memory and the host->device link.
+        bench_live(16, args.live_blocks, args.block, up,
+                   ingest_dtype=np.int8)
 
 
 if __name__ == "__main__":
