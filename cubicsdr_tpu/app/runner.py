@@ -66,6 +66,15 @@ class LiveReceiver:
             ingest_scale = {2: 1.0 / 32768.0, 1: 1.0 / 128.0}.get(
                 self.ingest_dtype.itemsize, 1.0)
         self.ingest_scale = float(ingest_scale)
+        # Compiled-program caches: plan swaps that return to a previously
+        # seen pipeline (the control plane caches pipeline objects by plan
+        # signature) must NOT recompile — on a remote-compile TPU a cold
+        # step costs minutes, which would starve the ring during live
+        # churn. Keyed by pipeline identity (weak: dropping a plan frees
+        # its programs).
+        import weakref
+        self._step_cache = weakref.WeakKeyDictionary()
+        self._post_cache: dict = {}
         # Donate the streaming state: the live loop's state buffers recycle
         # in place instead of allocating per block (the ReBuffer recycling
         # role on-device, ref: src/IOThread.h:46-155).
@@ -104,7 +113,22 @@ class LiveReceiver:
         self._st_dist = self.dist.init_state()
         self._st_spec = self.spec.init_state()
 
-        self._post = self._make_post()
+        # Demod-view spectrum (the second SpectrumVisualProcessor instance,
+        # ref: src/CubicSDR.cpp:340,374): tracks ONE selected demod's IQ
+        # tap. FUSED into the packed post-step — the selected row's tap is
+        # re-blocked + FFT'd on device and its display points ride the one
+        # packed pull, so selecting a demod costs no extra D2H round-trip.
+        self.demod_view: Optional[int] = None    # flat (group-order) index
+        self.demod_view_fft = 256
+        self.demod_spectrum: Optional[np.ndarray] = None
+        self._spec_cls = spec_cls
+        self._dv_gi: Optional[int] = None        # group of the viewed row
+        self._dv_off = 0                         # flat offset of that group
+        self._dv_dist = None
+        self._dv_spec = None
+        self._st_dv: tuple = ()
+
+        self._install_post()
 
         # Live audio tap: rolling mix chunks for HTTP/host audio sinks (the
         # AudioThread output analog, ref: src/audio/AudioThread.cpp:88-243).
@@ -124,21 +148,6 @@ class LiveReceiver:
         # ref: src/process/SpectrumVisualProcessor.cpp:283-386) with
         # retune/zoom display continuity. Created lazily by set_zoom().
         self.zoom = None
-
-        # Demod-view spectrum (the second SpectrumVisualProcessor instance,
-        # ref: src/CubicSDR.cpp:340,374): tracks ONE selected demod's IQ
-        # tap. FUSED into the packed post-step — the selected row's tap is
-        # re-blocked + FFT'd on device and its display points ride the one
-        # packed pull, so selecting a demod costs no extra D2H round-trip.
-        self.demod_view: Optional[int] = None    # flat (group-order) index
-        self.demod_view_fft = 256
-        self.demod_spectrum: Optional[np.ndarray] = None
-        self._spec_cls = spec_cls
-        self._dv_gi: Optional[int] = None        # group of the viewed row
-        self._dv_off = 0                         # flat offset of that group
-        self._dv_dist = None
-        self._dv_spec = None
-        self._st_dv: tuple = ()
 
         self._stop = threading.Event()
         self._stage_pool = None          # lazy 1-thread H2D staging worker
@@ -246,21 +255,28 @@ class LiveReceiver:
         """The compiled per-block step. For raw-format ingest, wire planes
         convert to f32 ON DEVICE (a fused VPU multiply) and the converted
         full-band iq replaces the passthrough tap so the visual chain sees
-        f32."""
+        f32. Cached per pipeline object: swapping back to a cached plan
+        reuses its compiled program."""
         import jax
         jnp = self._jnp
+        step = self._step_cache.get(pipeline)
+        if step is not None:
+            return step
         if self.ingest_dtype == np.float32:
-            return jax.jit(pipeline.apply, donate_argnums=(0,))
-        scale = self.ingest_scale
+            step = jax.jit(pipeline.apply, donate_argnums=(0,))
+        else:
+            scale = self.ingest_scale
 
-        def _step(state, inputs):
-            (re_raw, im_raw), controls = inputs
-            iq = PC(re_raw.astype(jnp.float32) * scale,
-                    im_raw.astype(jnp.float32) * scale)
-            state, out = pipeline.apply(state, (iq, controls))
-            return state, dict(out, iq=iq)
+            def _step(state, inputs):
+                (re_raw, im_raw), controls = inputs
+                iq = PC(re_raw.astype(jnp.float32) * scale,
+                        im_raw.astype(jnp.float32) * scale)
+                state, out = pipeline.apply(state, (iq, controls))
+                return state, dict(out, iq=iq)
 
-        return jax.jit(_step, donate_argnums=(0,))
+            step = jax.jit(_step, donate_argnums=(0,))
+        self._step_cache[pipeline] = step
+        return step
 
     def snapshot_state(self) -> object:
         """Host (numpy) copy of the streaming state, safe to read from any
@@ -314,7 +330,7 @@ class LiveReceiver:
                 block_len=pipeline.block_len, dtype=dt)
             self._st_dist = self.dist.init_state()
             self._st_spec = self.spec.init_state()
-            self._post = self._make_post()
+            self._install_post()
         self.zoom = None                     # view rates changed
 
     # --- consumer: ring -> compiled step -> sinks ---
@@ -483,7 +499,7 @@ class LiveReceiver:
                     self.demod_view = None       # force a full rebuild
                     self._set_demod_view_locked(idx)
             if rebuild:
-                self._post = self._make_post()
+                self._install_post()
 
     def display_params(self) -> dict:
         core = getattr(self.spec, "core", self.spec)
@@ -596,7 +612,6 @@ class LiveReceiver:
         self.demod_view = idx
         self.demod_spectrum = None
         self._dv_gi, self._dv_off = None, 0
-        self._st_dv = ()
         if idx is not None:
             off = 0
             for gi, g in enumerate(getattr(self.pipeline, "groups", ())):
@@ -604,22 +619,46 @@ class LiveReceiver:
                     self._dv_gi, self._dv_off = gi, off
                     break
                 off += g.count
-        if self._dv_gi is not None:
-            # Re-block the selected row's bandwidth-rate tap to the view
-            # FFT size on device (the demod-view SpectrumVisualProcessor
-            # chain, ref: src/CubicSDR.cpp:340,374). Fresh distributor:
-            # its block_len latches to the tap length at first trace.
-            rate = float(self.pipeline.frontends[self._dv_gi].bandwidth)
-            dt = PLANAR if self.planar else self._jnp.complex64
-            self._dv_dist = FFTDataDistributor(
-                self.demod_view_fft * 2, rate,
-                lines_per_second=self.dist.lps, dtype=dt)
-            self._dv_spec = self._spec_cls(self.demod_view_fft)
-            self._st_dv = (self._dv_dist.init_state(),
-                           self._dv_spec.init_state())
-        # New jit closure: the dv program (distributor geometry, FFT
-        # size) changed in ways arg-structure-keyed retracing can't see.
-        self._post = self._make_post()
+        self._install_post()
+
+    def _install_post(self):
+        """(Re)install the packed post-step for the current (pipeline,
+        visual chain, demod view) combination, reusing a previously
+        compiled program when the combination was seen before — view
+        toggles and plan-cache swaps must not pay a fresh trace/compile
+        (minutes on a remote-compile TPU)."""
+        dv_on = self._dv_gi is not None
+        key = (id(self.pipeline), id(self.dist), id(self.spec),
+               self._dv_gi, self.demod_view_fft if dv_on else None)
+        hit = self._post_cache.get(key)
+        if hit is not None:
+            self._post, self._dv_dist, self._dv_spec = hit[:3]
+        else:
+            if dv_on:
+                # Re-block the selected row's bandwidth-rate tap to the
+                # view FFT size on device (the demod-view
+                # SpectrumVisualProcessor chain, ref: src/CubicSDR.cpp:
+                # 340,374). Fresh distributor: its block_len latches to
+                # the tap length at first trace.
+                rate = float(
+                    self.pipeline.frontends[self._dv_gi].bandwidth)
+                dt = PLANAR if self.planar else self._jnp.complex64
+                self._dv_dist = FFTDataDistributor(
+                    self.demod_view_fft * 2, rate,
+                    lines_per_second=self.dist.lps, dtype=dt)
+                self._dv_spec = self._spec_cls(self.demod_view_fft)
+            else:
+                self._dv_dist = self._dv_spec = None
+            self._post = self._make_post()
+            if len(self._post_cache) >= 32:
+                self._post_cache.clear()
+            # The value pins the pipeline: cache keys are object ids, so
+            # every keyed object must stay alive for its entry's lifetime
+            # (dist/spec are pinned by the post closure itself).
+            self._post_cache[key] = (self._post, self._dv_dist,
+                                     self._dv_spec, self.pipeline)
+        self._st_dv = ((self._dv_dist.init_state(),
+                        self._dv_spec.init_state()) if dv_on else ())
 
     def _make_post(self):
         """Compile the post-step: the visual chain (distributor re-block +

@@ -479,6 +479,7 @@ class WebViewer:
         self.soapy_module = None          # injectable driver (tests: mock)
         self.host, self.port = host, port
         self._lock = threading.Lock()
+        self._plan_cache: dict = {}       # plan signature -> pipeline
         self._levels: dict[int, float] = {}
         self._httpd: Optional[ThreadingHTTPServer] = None
         self._thread: Optional[threading.Thread] = None
@@ -1320,13 +1321,26 @@ class WebViewer:
             base["num_channels"] = old_rx.M
             if old_rx.block_len_explicit:
                 base["block_len"] = old_rx.block_len
-        try:
-            pipeline = ReceiverPipeline(rate, specs, **base)
-        except AssertionError:
-            # The pinned block size doesn't divide the new plan's
-            # multiples; fall back to a derived one.
-            base.pop("block_len", None)
-            pipeline = ReceiverPipeline(rate, specs, **base)
+        # Plan cache: churn that returns to a previously-built plan
+        # (add/remove cycles, modem swap and back) reuses the SAME
+        # pipeline object, which lets the receiver's compiled-step cache
+        # skip the re-trace/re-compile entirely — on a remote-compile TPU
+        # a cold plan costs minutes and would starve the live ring.
+        sig = (rate, tuple(specs), base["chan_mode"], base["audio_rate"],
+               id(base["dtype"]), base["use_pallas"],
+               base.get("num_channels"), base.get("block_len"))
+        pipeline = self._plan_cache.get(sig)
+        if pipeline is None:
+            try:
+                pipeline = ReceiverPipeline(rate, specs, **base)
+            except AssertionError:
+                # The pinned block size doesn't divide the new plan's
+                # multiples; fall back to a derived one.
+                base.pop("block_len", None)
+                pipeline = ReceiverPipeline(rate, specs, **base)
+            if len(self._plan_cache) >= 8:
+                self._plan_cache.pop(next(iter(self._plan_cache)))
+            self._plan_cache[sig] = pipeline
         controls = controls_from_manager(self.mgr, pipeline, keyed,
                                          r.center_freq)
         state = pipeline.init_state()
