@@ -258,12 +258,42 @@ def bench_live(n_demods: int = 16, n_blocks: int = 240,
     return msps
 
 
+def bench_multihost(timed_steps: int = 16):
+    """Machine-readable multi-PROCESS scaling: the real 2-process
+    jax.distributed receive job (per-process ingest spans, gloo
+    collectives over loopback) timed at steady state vs the same job at
+    1 process. CAVEAT attached to the row: both fleets share THIS host's
+    cores, so the 2-process number under-measures real DCN scaling —
+    the honest signal is the ingest-scatter share and that the
+    collective-synchronized loop sustains throughput at all."""
+    import os
+    from cubicsdr_tpu.parallel import multihost
+    reps = {}
+    for n in (1, 2):
+        rs = multihost.launch_local(n, steps=1, timed_steps=timed_steps)
+        timed = [r["timed"] for r in rs if r.get("timed")]
+        reps[n] = {
+            "aggregate_msps": round(
+                sum(t["aggregate_msps"] for t in timed) / len(timed), 2),
+            "ingest_scatter_share": round(
+                max(t["ingest_scatter_share"] for t in timed), 4)}
+    m1, m2 = reps[1]["aggregate_msps"], reps[2]["aggregate_msps"]
+    _emit("iq_msamples_per_sec_multihost_2proc", m2, {
+        "aggregate_msps_1proc": m1,
+        "scaling_vs_1proc": round(m2 / m1, 3),
+        "efficiency_vs_2x": round(m2 / (2 * m1), 3),
+        "ingest_scatter_share": reps[2]["ingest_scatter_share"],
+        "host_cpus": os.cpu_count(),
+        "caveat": "both processes share one host's cores (loopback DCN "
+                  "stand-in); under-measures real multi-host scaling"})
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", action="append",
                     choices=["demod16", "demod256", "live16", "live16_i16",
-                             "live16_i8"],
-                    help="run a subset (default: all five)")
+                             "live16_i8", "multihost"],
+                    help="run a subset (default: all six)")
     ap.add_argument("--demods", type=int, default=None,
                     help="extra custom scan config with N demods")
     ap.add_argument("--block", type=int, default=None)
@@ -273,7 +303,7 @@ def main():
 
     up = False if args.no_pallas else None
     configs = args.only or ["demod16", "demod256", "live16", "live16_i16",
-                            "live16_i8"]
+                            "live16_i8", "multihost"]
     if args.demods is not None:
         bench_scan(args.demods, args.block, up)
         return
@@ -291,6 +321,8 @@ def main():
         # f32 through host memory and the host->device link.
         bench_live(16, args.live_blocks, args.block, up,
                    ingest_dtype=np.int8)
+    if "multihost" in configs:
+        bench_multihost()
 
 
 if __name__ == "__main__":

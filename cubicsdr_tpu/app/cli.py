@@ -406,11 +406,13 @@ def cmd_multihost(args):
     if args.worker:
         rep = multihost.run_worker(args.coordinator, args.nprocs,
                                    args.process_id, steps=args.steps,
-                                   verify=not args.no_verify)
+                                   verify=not args.no_verify,
+                                   timed_steps=args.timed_steps)
         print(json.dumps(rep))
         return 0
     reports = multihost.launch_local(args.nprocs, steps=args.steps,
-                                     devices_per_process=args.devices)
+                                     devices_per_process=args.devices,
+                                     timed_steps=args.timed_steps)
     for rep in reports:
         print(json.dumps(rep))
     ok = all(r["ok"] and r["process_count"] == args.nprocs
@@ -538,6 +540,9 @@ def main(argv=None):
     mh.add_argument("--coordinator", default="localhost:9876")
     mh.add_argument("--process-id", type=int, default=0)
     mh.add_argument("--no-verify", action="store_true")
+    mh.add_argument("--timed-steps", type=int, default=0,
+                    help="append a steady-state timing phase of N steps "
+                         "(reports aggregate MS/s + ingest-scatter share)")
     mh.set_defaults(fn=cmd_multihost)
 
     m = sub.add_parser("modems", help="list modem types")

@@ -65,12 +65,15 @@ def _check_addressable(arr, ref, **tol):
 
 
 def run_worker(coordinator: str, num_processes: int, process_id: int,
-               steps: int = 2, verify: bool = True) -> dict:
+               steps: int = 2, verify: bool = True,
+               timed_steps: int = 0) -> dict:
     """One process of the distributed receive job. Initializes
     jax.distributed, builds the global ('time', 'chan'=1) mesh over ALL
     devices, feeds its local IQ span per block via ``shard_iq_local``, and
     (optionally) verifies every output's addressable shards against a
-    locally-computed unsharded reference."""
+    locally-computed unsharded reference. ``timed_steps`` appends a
+    steady-state timing phase (pre-generated local spans, no verify) and
+    reports aggregate MS/s + the host-side ingest-scatter share."""
     import jax
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
@@ -123,17 +126,45 @@ def run_worker(coordinator: str, num_processes: int, process_id: int,
                 agree = np.mean(np.asarray(s.data) == ref_syms[s.index])
                 assert agree > 0.999, agree
     jax.block_until_ready(out["mix"])
-    return {"process_id": process_id,
-            "process_count": int(jax.process_count()),
-            "local_devices": len(jax.local_devices()),
-            "global_devices": n_dev,
-            "block_len": rx.block_len, "steps": steps,
-            "verified": bool(verify), "ok": True}
+    rep = {"process_id": process_id,
+           "process_count": int(jax.process_count()),
+           "local_devices": len(jax.local_devices()),
+           "global_devices": n_dev,
+           "block_len": rx.block_len, "steps": steps,
+           "verified": bool(verify), "ok": True}
+    if timed_steps:
+        import time
+        spans = [np.stack([b.real[lo:hi], b.imag[lo:hi]])
+                 for b in (_demo_block(rng, rx.block_len, DEMO_FS)
+                           for _ in range(4))]
+        # Warm (compiles already done above) + measure the ingest
+        # scatter (host->global-array assembly) share separately.
+        state, out = step(state, rx.shard_iq_local(spans[0]), controls)
+        jax.block_until_ready(out["mix"])
+        t0 = time.perf_counter()
+        for i in range(timed_steps):
+            sh = rx.shard_iq_local(spans[i % 4])
+        t_scatter = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for i in range(timed_steps):
+            state, out = step(state, rx.shard_iq_local(spans[i % 4]),
+                              controls)
+        jax.block_until_ready(out["mix"])
+        dt = time.perf_counter() - t0
+        rep["timed"] = {
+            "steps": timed_steps,
+            "wall_s": round(dt, 4),
+            "aggregate_msps": round(
+                timed_steps * rx.block_len / dt / 1e6, 2),
+            "ingest_scatter_s": round(t_scatter, 4),
+            "ingest_scatter_share": round(t_scatter / dt, 4)}
+    return rep
 
 
 def launch_local(num_processes: int = 2, steps: int = 2,
                  devices_per_process: int = 4, port: int = 0,
-                 timeout_s: float = 600.0) -> list[dict]:
+                 timeout_s: float = 600.0,
+                 timed_steps: int = 0) -> list[dict]:
     """Spawn ``num_processes`` CPU worker processes on localhost (the DCN
     demo/test path: gloo over loopback) and collect their JSON reports."""
     import socket
@@ -153,7 +184,7 @@ def launch_local(num_processes: int = 2, steps: int = 2,
             [sys.executable, "-m", "cubicsdr_tpu", "multihost", "--worker",
              "--coordinator", f"localhost:{port}",
              "--nprocs", str(num_processes), "--process-id", str(pid),
-             "--steps", str(steps)],
+             "--steps", str(steps), "--timed-steps", str(timed_steps)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True))
     reports = []
