@@ -514,14 +514,15 @@ class LiveReceiver:
         s = self.audio_sinks.get("default")
         return s["output"] if s else None
 
-    def set_audio_output(self, backend, device=None):
+    def set_audio_output(self, backend, device=None, rate=None):
         """Attach/replace/detach the default host playback sink.
         backend: AudioOutput | 'auto' | 'sounddevice' | 'wav:<path>' |
         'null' | None (detach)."""
-        self.set_audio_sink("default", backend, device)
+        self.set_audio_sink("default", backend, device, rate=rate)
 
     def set_audio_sink(self, name: str, backend=None, device=None,
-                       demods: Optional[list] = None):
+                       demods: Optional[list] = None,
+                       rate: Optional[int] = None):
         """Configure one of N named host output sinks (the reference's
         per-demod output-device routing: several devices run at once,
         each mixing its bound demods, ref: src/audio/AudioThread.cpp:
@@ -529,18 +530,26 @@ class LiveReceiver:
         control plane registered row_keys, else flat row indices) mixed
         host-side for this sink — key-addressed so a plan rebuild that
         reorders rows never redirects another demod's audio into this
-        sink. None = the device-mixed full mix. backend None removes."""
-        from cubicsdr_tpu.io.audio_out import AudioOutput
+        sink. None = the device-mixed full mix. backend None removes.
+        ``rate``: the sink device's OWN sample rate — audio is resampled
+        host-side from the pipeline rate (the reference's per-device
+        negotiated rate + runtime switch, ref: src/audio/AudioThread
+        .cpp:493-506)."""
+        from cubicsdr_tpu.io.audio_out import AudioOutput, HostResampler
         old = self.audio_sinks.pop(name, None)
         if old is not None:
             old["output"].close()
         if backend is None:
             return
+        pipe_rate = int(self.pipeline.audio_rate)
+        rate = int(rate) if rate else pipe_rate
         if not isinstance(backend, AudioOutput):
-            backend = AudioOutput(int(self.pipeline.audio_rate), 2,
-                                  backend=str(backend), device=device)
+            backend = AudioOutput(rate, 2, backend=str(backend),
+                                  device=device)
         self.audio_sinks[name] = {
             "output": backend,
+            "resampler": (None if rate == pipe_rate
+                          else HostResampler(pipe_rate, rate)),
             "demods": None if demods is None else list(demods)}
 
     def set_audio_solo(self, key):
@@ -865,7 +874,11 @@ class LiveReceiver:
                                          keys, ctls)
                 if a is not None:
                     try:
-                        sink["output"].write(a)
+                        rs = sink.get("resampler")
+                        if rs is not None:
+                            a = rs.process(a)
+                        if a.shape[-1]:
+                            sink["output"].write(a)
                     except Exception as e:       # noqa: BLE001 — device
                         self.metrics.note(f"audio_out_error_{name}",
                                           str(e))

@@ -770,6 +770,65 @@ class WebViewer:
         return {"ok": True}
 
     # ---- gain stages (ref: src/visual/GainCanvas.cpp per-stage sliders) --
+    def ppm_json(self, ref_hz: float) -> dict:
+        """PPM calibration aid (ref: the scope's PPM mode + ALT-over-
+        tuning-bar interactive correction, src/visual/ScopeCanvas.h:
+        35-36,65, src/AppFrame.cpp:2343,1996-2005). TPU-native re-design:
+        instead of an eyeballed digit bar, measure a KNOWN reference
+        carrier's spectral peak (sub-bin parabolic interpolation, the
+        zoomed view when it covers the carrier) and report the implied
+        correction: SoapySDR applies ``setFrequencyCorrection(ppm)`` so
+        a carrier appearing ABOVE where it should means the current
+        correction is too high by offset/ref*1e6."""
+        r = self.receiver
+        ref_hz = float(ref_hz)
+        rate = r.pipeline.sample_rate
+        src_name = "spectrum"
+        z = r.zoom
+        if (z is not None and z.points is not None
+                and abs(ref_hz - (r.center_freq + z.view_offset))
+                < 0.45 * z.resample_bw):
+            pts = np.asarray(z.points, np.float64)
+            f0 = r.center_freq + z.view_offset - z.resample_bw / 2
+            span = z.resample_bw
+            src_name = "zoom"
+        else:
+            pts = np.asarray(r.waterfall.buffer[-1], np.float64)
+            f0 = r.center_freq - rate / 2
+            span = rate
+        n = pts.size
+        if n < 8:
+            return {"ok": False, "error": "no spectrum yet"}
+        binw = span / n
+        # Search ±0.5% of the span around the nominal carrier.
+        k_ref = (ref_hz - f0) / binw
+        if not (1 <= k_ref <= n - 2):
+            return {"ok": False,
+                    "error": f"reference {ref_hz} Hz outside the "
+                             f"{src_name} span"}
+        w = max(3, int(0.005 * n))
+        lo = max(1, int(k_ref) - w)
+        hi = min(n - 1, int(k_ref) + w + 1)
+        k = lo + int(np.argmax(pts[lo:hi]))
+        ym1, y0, yp1 = pts[k - 1], pts[k], pts[k + 1]
+        den = ym1 - 2 * y0 + yp1
+        frac = 0.5 * (ym1 - yp1) / den if abs(den) > 1e-12 else 0.0
+        # fftshifted display: bin k's center sits at f0 + k*binw.
+        f_peak = f0 + (k + float(np.clip(frac, -0.5, 0.5))) * binw
+        offset = f_peak - ref_hz
+        off_ppm = offset / ref_hz * 1e6
+        dev_id = (self.device_info.device_id
+                  if self.device_info is not None else "synthetic=0")
+        cur = self.config.get_device(dev_id).ppm
+        return {"ok": True, "source": src_name,
+                "bin_hz": round(binw, 2),
+                "reference_hz": ref_hz,
+                "measured_peak_hz": round(f_peak, 2),
+                "offset_hz": round(offset, 2),
+                "offset_ppm": round(off_ppm, 3),
+                "current_ppm": cur,
+                "suggested_ppm": round(cur - off_ppm, 2)}
+
     def gains_json(self) -> dict:
         dev = self.device_info
         dev_id = dev.device_id if dev is not None else "synthetic=0"
@@ -1101,6 +1160,24 @@ class WebViewer:
             cap = caps[mode]
             if cap is not None and r.dist.lps > cap:
                 r.set_display(lps=cap)
+        elif action == "ppm":
+            # Device frequency correction (ref: AppFrame::
+            # actionOnMenuSetPPM src/AppFrame.cpp:1996-2005 + the
+            # ALT-digit-bar interactive adjust :2343): absolute
+            # ``value`` or relative ``delta``, persisted per device and
+            # forwarded live. /api/ppm?ref=<Hz> measures the suggested
+            # value from a known carrier.
+            dev_id = (self.device_info.device_id
+                      if self.device_info is not None else "synthetic=0")
+            dc = self.config.get_device(dev_id)
+            if "value" in cmd and cmd["value"] is not None:
+                dc.ppm = int(cmd["value"])
+            elif "delta" in cmd:
+                dc.ppm = int(dc.ppm + cmd["delta"])
+            if self.source is not None and hasattr(self.source,
+                                                   "set_ppm"):
+                self.source.set_ppm(dc.ppm)
+            return {"ok": True, "ppm": dc.ppm}
         elif action == "audio_output":
             # Host playback sinks (RtAudio role): backend auto|
             # sounddevice|wav:<path>|null (null/missing backend detaches).
@@ -1123,13 +1200,16 @@ class WebViewer:
                     return {"ok": False,
                             "error": f"bad demod index in {demods}"}
                 r.set_audio_sink(name, cmd.get("backend"),
-                                 device=cmd.get("device"), demods=sel)
+                                 device=cmd.get("device"), demods=sel,
+                                 rate=cmd.get("rate"))
             elif name != "default":
                 r.set_audio_sink(name, cmd.get("backend"),
-                                 device=cmd.get("device"))
+                                 device=cmd.get("device"),
+                                 rate=cmd.get("rate"))
             else:
                 r.set_audio_output(cmd.get("backend"),
-                                   device=cmd.get("device"))
+                                   device=cmd.get("device"),
+                                   rate=cmd.get("rate"))
         elif action == "audio_solo" and self.mgr is not None:
             # Route ONE demod to the host audio device instead of the mix
             # (per-demod output routing, ref: AudioThread bound threads).
@@ -1424,6 +1504,12 @@ class WebViewer:
                     elif path == "/api/gains":
                         self._send(200,
                                    json.dumps(viewer.gains_json()).encode())
+                    elif path.startswith("/api/ppm"):
+                        q = dict(p.split("=", 1) for p in
+                                 (self.path.split("?", 1) + [""])[1]
+                                 .split("&") if "=" in p)
+                        self._send(200, json.dumps(viewer.ppm_json(
+                            float(q.get("ref", 0) or 0))).encode())
                     elif path == "/api/devices":
                         self._send(200,
                                    json.dumps(viewer.devices_json()).encode())
@@ -1439,6 +1525,7 @@ class WebViewer:
                                 viewer.receiver.audio_solo),
                             "sinks": {
                                 n: {"backend": s["output"].backend,
+                                    "rate": s["output"].sample_rate,
                                     "demods": s["demods"]}
                                 for n, s in
                                 viewer.receiver.audio_sinks.items()},

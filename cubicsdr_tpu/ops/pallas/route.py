@@ -54,11 +54,17 @@ DOT_PRECISION = "split_bf16"
 
 def choose_fused_tile(n_out: int, P: int, Q: int, lo: int = 64,
                       hi: int = 1024, target: int = 128):
-    """Output tile O for the fused kernel: O % P == 0, n_out % O == 0, and
-    the input stride S = (O//P)*Q must be 128-aligned (DMA slices move in
-    lane multiples of 128). None if infeasible (caller falls back)."""
+    """Output tile O for the fused kernel: O % P == 0, n_out % O == 0,
+    the input stride S = (O//P)*Q must be 128-aligned (DMA slices move
+    in lane multiples of 128), and O itself must be 128-aligned — the
+    OUTPUT BlockSpec (N8, Tt*O) blocks the lane axis, and Mosaic demands
+    128-multiple lane blocks unless a block spans the whole axis (found
+    on hardware at n_out=88000 -> O=320: 'Block spec ... has block
+    shape (8, 320)' compile failure). None if infeasible (caller falls
+    back to the XLA gather path)."""
     cands = [o for o in range(lo, hi + 1)
-             if o % P == 0 and n_out % o == 0 and ((o // P) * Q) % 128 == 0]
+             if o % P == 0 and o % 128 == 0 and n_out % o == 0
+             and ((o // P) * Q) % 128 == 0]
     return min(cands, key=lambda o: abs(o - target)) if cands else None
 
 

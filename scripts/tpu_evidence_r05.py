@@ -292,49 +292,73 @@ class _PacedSource:
 
 def churn_soak(args):
     import urllib.request
-    import jax  # noqa: F401 — early backend init before threads
+    import jax
     from cubicsdr_tpu.app.runner import LiveReceiver
     from cubicsdr_tpu.app.webview import WebViewer
     from cubicsdr_tpu.ops.planar import PLANAR
-    from cubicsdr_tpu.receiver import (DemodulatorMgr, ReceiverPipeline,
+    from cubicsdr_tpu.receiver import (DemodulatorMgr, DemodGroupSpec,
+                                       ReceiverPipeline,
                                        plan_from_manager,
                                        controls_from_manager)
 
+    on_cpu = jax.devices()[0].platform == "cpu"
     rate = 2_400_000.0
+    # Every plan the churn cycle visits; the pinned block length is a
+    # common multiple of ALL of them, so no rebuild ever changes the
+    # wideband format (which would rebuild the ring and silently drop
+    # its in-flight samples — the 0-drop criterion must stay strict).
+    cfgs = [
+        [DemodGroupSpec("FM", 200000, 1)],
+        [DemodGroupSpec("FM", 200000, 1), DemodGroupSpec("AM", 10000, 1)],
+        [DemodGroupSpec("FM", 200000, 1),
+         DemodGroupSpec("NBFM", 12500, 1)],
+        [DemodGroupSpec("FM", 200000, 1),
+         DemodGroupSpec("NBFM", 10000, 1)],
+    ]
+    m = 1
+    for specs_i in cfgs:
+        r0 = ReceiverPipeline(rate, specs_i, dtype=PLANAR)
+        for gi in range(len(specs_i)):
+            m = int(np.lcm(m, r0.group_block_multiple(gi)))
+        m = int(np.lcm(m, r0._decim * 128))
+        for fe in r0.frontends:
+            # Fused-route tiling (choose_block_len's pallas branch):
+            # keep every plan's per-group n_out 128-aligned so the
+            # fused kernel stays eligible through the whole cycle.
+            m = int(np.lcm(m, r0._decim * fe.Q * 128))
+    L = ((1 << 20) // m + 1) * m
+    assert L <= (1 << 23), f"churn block too large: {L}"
+
     mgr = DemodulatorMgr()
     mgr.new_demodulator(100e6 + 200e3, "FM", 200000)   # the survivor
     specs, keyed = plan_from_manager(mgr)
-    rx0 = ReceiverPipeline(rate, specs, dtype=PLANAR)
-    m = rx0.block_len
-    L = ((1 << 20) // m + 1) * m
-    rx = ReceiverPipeline(rate, specs, dtype=PLANAR, use_pallas=True,
-                          block_len=L)
+    rx = ReceiverPipeline(rate, specs, dtype=PLANAR,
+                          use_pallas=not on_cpu, block_len=L)
     controls = controls_from_manager(mgr, rx, keyed, 100e6)
 
     # Synthesized FM station at +200 kHz carrying a 1 kHz tone, CS16.
-    n = 4 * rx.block_len
+    n = 4 * L
     t = np.arange(n) / rate
     msg = np.sin(2 * np.pi * 1000.0 * t)
     iqc = 0.5 * np.exp(1j * (2 * np.pi * 200e3 * t
                              + 2 * np.pi * 75e3 * np.cumsum(msg) / rate))
     i16 = np.stack([(iqc.real * 32767).astype(np.int16),
                     (iqc.imag * 32767).astype(np.int16)])
-    blocks = [np.ascontiguousarray(i16[:, b * rx.block_len:
-                                       (b + 1) * rx.block_len])
+    blocks = [np.ascontiguousarray(i16[:, b * L:(b + 1) * L])
               for b in range(4)]
 
-    src = _PacedSource(blocks, rx.block_len, rate)
+    src = _PacedSource(blocks, L, rate)
     lr = LiveReceiver(rx, controls, src, center_freq=100e6,
                       waterfall_fft=1024, waterfall_lines=64,
                       ring_seconds=8.0, ingest_dtype=np.int16)
     viewer = WebViewer(lr, mgr, keyed, port=0).start()
     port = viewer.port
 
-    def ctl(body):
+    def ctl(body, path="/api/control"):
         req = urllib.request.Request(
-            f"http://127.0.0.1:{port}/api/control",
+            f"http://127.0.0.1:{port}{path}",
             data=json.dumps(body).encode(), method="POST")
-        with urllib.request.urlopen(req, timeout=600) as r:
+        with urllib.request.urlopen(req, timeout=1200) as r:
             return json.loads(r.read())
 
     consumer_exc = []
@@ -347,10 +371,17 @@ def churn_soak(args):
         except Exception as e:               # noqa: BLE001
             consumer_exc.append(repr(e))
 
-    def churn_cycle(tmp):
+    import tempfile
+    tmp = tempfile.mkdtemp()
+
+    def churn_cycle():
         ops = [
             {"action": "add", "freq": 100e6 - 300e3, "type": "AM",
-             "bandwidth": 10000},
+             "bandwidth": 10000},                       # plan: FM+AM10k
+            {"action": "set", "index": 1, "key": "type",
+             "value": "NBFM"},                          # FM+NBFM12.5k
+            {"action": "set", "index": 1, "key": "bandwidth",
+             "value": 10000},                           # FM+NBFM10k
             {"action": "set", "index": 1, "key": "frequency",
              "value": 100e6 - 280e3},
             {"action": "set", "index": 0, "key": "recording",
@@ -365,15 +396,21 @@ def churn_soak(args):
             {"action": "view", "index": None},
             {"action": "zoom", "offset": None},
             {"action": "display", "lps": 30.0},
-            {"action": "remove", "index": 1},
+            {"action": "remove", "index": 1},           # back to FM only
         ]
         for op in ops:
             r = ctl(op)
             assert r.get("ok"), (op, r)
+            assert lr.pipeline.block_len == L, \
+                (op, lr.pipeline.block_len, L)
             time.sleep(0.3)
-
-    import tempfile
-    tmp = tempfile.mkdtemp()
+        r = ctl({"op": "checkpoint", "path": tmp + "/ck.json"},
+                path="/api/session")
+        assert r.get("ok"), r
+        r = ctl({"op": "restore", "path": tmp + "/ck.json"},
+                path="/api/session")
+        assert r.get("ok"), r
+        assert lr.pipeline.block_len == L
 
     # Phase 1 — WARM: compile every program in the cycle while streaming
     # best-effort (drops expected and irrelevant here; the plan/step
@@ -382,35 +419,41 @@ def churn_soak(args):
     th = threading.Thread(target=consume, daemon=True)
     th.start()
     t0 = time.perf_counter()
-    churn_cycle(tmp)
-    churn_cycle(tmp)          # second pass proves the caches hold
+    churn_cycle()
+    churn_cycle()             # second pass proves the caches hold
     warm_s = time.perf_counter() - t0
     assert not consumer_exc, consumer_exc
 
+    # Let the paced producer's backlog/ring settle to steady state so the
+    # measured window starts clean.
+    time.sleep(2 * L / rate)
     # Phase 2 — MEASURE: reset counters, soak with continuous churn.
     lr.metrics = type(lr.metrics)()
     t0 = time.perf_counter()
     deadline = t0 + 60.0 * args.minutes
     cycles = 0
     while time.perf_counter() < deadline and not consumer_exc:
-        churn_cycle(tmp)
+        churn_cycle()
         cycles += 1
     dt = time.perf_counter() - t0
     snap = lr.metrics.snapshot()
     stop.set()
     src.stop()
-    th.join(timeout=30)
+    th.join(timeout=60)
     lr._stop.set()
     lr.stop()
     viewer.stop()
 
+    samples = int(snap.get("pipeline", {}).get("samples", 0))
     blocks_n = int(snap.get("pipeline", {}).get("blocks", 0))
-    msps = blocks_n * rx.block_len / dt / 1e6
+    msps = samples / dt / 1e6
     drops = int(snap.get("ingest", {}).get("dropped", 0))
-    res = {"tag": "churn_soak", "platform": "tpu",
+    res = {"tag": "churn_soak",
+           "platform": jax.devices()[0].platform,
            "minutes": round(dt / 60.0, 2), "warmup_s": round(warm_s, 1),
-           "churn_cycles": cycles, "rest_ops": cycles * 13,
-           "blocks": blocks_n, "sustained_msps": round(msps, 3),
+           "block_len": L, "churn_cycles": cycles,
+           "rest_ops": cycles * 17, "blocks": blocks_n,
+           "sustained_msps": round(msps, 3),
            "realtime_factor": round(msps * 1e6 / rate, 3),
            "ring_dropped_samples": drops,
            "consumer_exceptions": consumer_exc,
@@ -433,8 +476,10 @@ def soak(args):
     rx0 = ReceiverPipeline(rate, specs, dtype=PLANAR)
     m = rx0.block_len
     L = ((1 << 20) // m + 1) * m
-    rx = ReceiverPipeline(rate, specs, dtype=PLANAR, use_pallas=True,
-                          block_len=L)
+    import jax as _jax
+    on_cpu = _jax.devices()[0].platform == "cpu"
+    rx = ReceiverPipeline(rate, specs, dtype=PLANAR,
+                          use_pallas=not on_cpu, block_len=L)
     controls = rx.control_template()
     controls[0]["frequency"] = np.asarray(
         [100e3, 300e3, -200e3, -400e3], np.float32)
