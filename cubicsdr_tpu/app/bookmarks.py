@@ -60,6 +60,14 @@ class BookmarkMgr:
         if group in self.groups and entry in self.groups[group]:
             self.groups[group].remove(entry)
 
+    def reorder(self, group: str, i: int, to: int):
+        """Move entry ``i`` to position ``to`` within its group — the
+        within-group drag-drop ordering of the reference's tree
+        (ref: src/forms/Bookmark/BookmarkView.cpp drag onto sibling)."""
+        es = self.groups[group]
+        e = es.pop(int(i))
+        es.insert(int(to), e)
+
     def move_bookmark(self, entry: BookmarkEntry, from_group: str,
                       to_group: str):
         self.remove_bookmark(from_group, entry)

@@ -109,6 +109,9 @@ async function poll() {
     st.demods.forEach((d, i) => {
       const e = document.createElement('div');
       if (i === selIdx) e.className = 'sel';
+      e.draggable = true;     // drag a demod onto a bookmark group
+      e.ondragstart = ev => ev.dataTransfer.setData('text/plain',
+        JSON.stringify({kind:'demod', i:i}));
       const lbl = document.createElement('span');
       lbl.textContent = `#${i} ${d.type} ${d.frequency} Hz ` +
         `bw=${d.bandwidth} sq=${d.squelch_enabled?d.squelch_level:'off'}` +
@@ -147,10 +150,20 @@ async function poll() {
       (g.stages.length ? ` | AGC <input type="checkbox"` +
        ` ${g.agc?'checked':''} onchange="setAgc(this.checked)">` : '');
     const bm = await (await fetch('/api/bookmarks')).json();
+    // Drag-drop organization (the BookmarkView tree's primary
+    // interaction, ref: src/forms/Bookmark/BookmarkView.cpp): drag an
+    // entry onto another group's header to MOVE it, onto another entry
+    // in the same group to REORDER, or drag a demod row here to file it.
     document.getElementById('bookmarks').innerHTML =
       Object.entries(bm.groups).map(([grp, es]) =>
-        `<b>${grp}</b>: ` + es.map((e, i) =>
-          `<a href="#" onclick="bmGo('${grp}',${i});return false">` +
+        `<b class="bmg" data-g="${grp}" ondragover="event.preventDefault()"` +
+        ` ondrop="bmDrop(event,'${grp}',null)">${grp}</b>: ` +
+        es.map((e, i) =>
+          `<a href="#" draggable="true" class="bme"` +
+          ` ondragstart="bmDrag(event,'${grp}',${i})"` +
+          ` ondragover="event.preventDefault()"` +
+          ` ondrop="bmDrop(event,'${grp}',${i})"` +
+          ` onclick="bmGo('${grp}',${i});return false">` +
           `${e.demod_type}@${e.frequency}</a>`).join(' ')).join('  ');
     const img = new Image();
     img.onload = () => wf.getContext('2d')
@@ -253,6 +266,25 @@ async function bookmarkSel() {
 async function bmGo(grp, i) {
   await fetch('/api/bookmarks', {method:'POST',
     body: JSON.stringify({op:'activate', group:grp, i:i})});
+}
+function bmDrag(ev, grp, i) {
+  ev.dataTransfer.setData('text/plain',
+    JSON.stringify({kind:'bm', group:grp, i:i}));
+}
+async function bmDrop(ev, grp, i) {
+  ev.preventDefault();
+  let d; try { d = JSON.parse(ev.dataTransfer.getData('text/plain')); }
+  catch (e) { return; }
+  if (d.kind === 'bm' && d.group === grp && i !== null) {
+    await fetch('/api/bookmarks', {method:'POST',
+      body: JSON.stringify({op:'reorder', group:grp, i:d.i, to:i})});
+  } else if (d.kind === 'bm' && d.group !== grp) {
+    await fetch('/api/bookmarks', {method:'POST',
+      body: JSON.stringify({op:'move', from:d.group, i:d.i, to:grp})});
+  } else if (d.kind === 'demod') {
+    await fetch('/api/bookmarks', {method:'POST',
+      body: JSON.stringify({op:'add', index:d.i, group:grp})});
+  }
 }
 function tune() {
   ctl({action:'tune', freq: parseFloat(document.getElementById('freq').value)});
@@ -734,6 +766,8 @@ class WebViewer:
             src = str(cmd["from"])
             b.move_bookmark(b.get_bookmarks(src)[int(cmd["i"])],
                             src, str(cmd["to"]))
+        elif op == "reorder":
+            b.reorder(str(cmd["group"]), int(cmd["i"]), int(cmd["to"]))
         elif op == "rename_group":
             b.rename_group(str(cmd["group"]), str(cmd["new"]))
         elif op == "remove_group":

@@ -505,6 +505,77 @@ def planar_shifted_resample_matmul(z, rs: RationalResampler, omega,
 TWO_PI = 6.283185307179586
 
 
+def planar_shifted_resample_conv(z, rs: RationalResampler, omega,
+                                 phase_w0):
+    """Grouped-conv form of the fused NCO-shift + resample (the XLA
+    no-Pallas route's HBM diet): instead of materializing per-demod
+    Toeplitz windows [N, rows, W] AND a modulated [N, W, O] tap tensor
+    in HBM (~GB per 256-demod block — BENCH.md round-3 ablation), fold
+    the NCO into a per-demod complex kernel of KK taps and run ONE
+    grouped strided conv over the gathered stream:
+
+        y[n, m] = e^{i(φ0_n + ω_n Q (m//P))}
+                  Σ_k ker[m%P, KK-1-k] e^{+i ω_n k} x[n, start + (m//P)Q + k]
+
+    (exactly planar_shifted_resample_matmul's math — derived from
+    _toeplitz_np's index map — so the two paths are interchangeable;
+    equality is tested). HBM traffic drops to the gathered stream reads
+    + an output-rate phasor.
+
+    z: PC [N, hist+L]; omega/phase_w0: [N]. Returns PC [N, n_out].
+    """
+    from cubicsdr_tpu.ops.planar import PC
+    assert isinstance(z, PC) and z.re.ndim == 2
+    N = z.re.shape[0]
+    L = z.re.shape[-1] - rs.hist_len
+    n_out = L // rs.Q * rs.P
+    T_len = n_out // rs.P
+    start = rs.hist_len + rs.Q - 1 - (rs.KK - 1)
+    ker = np.asarray(rs.ker, np.float32).reshape(rs.P, rs.KK)
+    ker_rev = jnp.asarray(ker[:, ::-1].copy())       # [P, KK]
+
+    omega = jnp.asarray(omega, jnp.float32)
+    phase_w0 = jnp.asarray(phase_w0, jnp.float32)
+    k_idx = jnp.arange(rs.KK, dtype=jnp.float32)
+    th = jnp.mod(omega[:, None] * k_idx, TWO_PI)     # [N, KK]
+    # rhs[n*P + r, 0, k] = ker[r, KK-1-k] * e^{+i w_n k}
+    g_re = (ker_rev[None, :, :] * jnp.cos(th)[:, None, :]
+            ).reshape(N * rs.P, 1, rs.KK)
+    g_im = (ker_rev[None, :, :] * jnp.sin(th)[:, None, :]
+            ).reshape(N * rs.P, 1, rs.KK)
+
+    dn = jax.lax.ConvDimensionNumbers(
+        lhs_spec=(0, 1, 2), rhs_spec=(0, 1, 2), out_spec=(0, 1, 2))
+    need = (T_len - 1) * rs.Q + rs.KK
+
+    def conv(plane, g):
+        lhs = plane[None, :, start:start + need]     # [1, N, need]
+        y = jax.lax.conv_general_dilated(
+            lhs, g, window_strides=(rs.Q,), padding="VALID",
+            dimension_numbers=dn, feature_group_count=N,
+            precision=_signal_precision())
+        return y[0].reshape(N, rs.P, T_len)          # [N, P, T]
+
+    y_re = conv(z.re, g_re) - conv(z.im, g_im)
+    y_im = conv(z.re, g_im) + conv(z.im, g_re)
+
+    # Output rotation e^{i(φ0 + ω Q j)}, j = m//P — split pre-wrapped
+    # increments keep the f32 phase products small at any block length.
+    a1 = jnp.mod(omega * rs.Q, TWO_PI)[:, None]
+    a64 = jnp.mod(64.0 * a1, TWO_PI)
+    j = jnp.arange(T_len, dtype=jnp.float32)
+    hi, lo = jnp.floor(j / 64.0), jnp.mod(j, 64.0)
+    phi = jnp.mod(phase_w0[:, None] + a64 * hi[None, :]
+                  + a1 * lo[None, :], TWO_PI)        # [N, T]
+    c, s = jnp.cos(phi)[:, None, :], jnp.sin(phi)[:, None, :]
+    out_re = y_re * c - y_im * s
+    out_im = y_im * c + y_re * s
+    # Interleave the P phase streams: [N, P, T] -> [N, T*P].
+    out_re = jnp.swapaxes(out_re, -1, -2).reshape(N, n_out)
+    out_im = jnp.swapaxes(out_im, -1, -2).reshape(N, n_out)
+    return PC(out_re, out_im)
+
+
 class PlanarResampler(StreamOp):
     """Stateful multi-stage P/Q resampler on planar-complex (PC) or real
     float32 data; each stage runs in the MXU Toeplitz-matmul form. State is

@@ -29,10 +29,19 @@ from cubicsdr_tpu.ops.nco import NCOMixer
 from cubicsdr_tpu.ops.planar import PC, PLANAR, xcat, xtail
 from cubicsdr_tpu.ops.resample import (
     IdentityResampler, RationalResampler, ResamplerChain, design_ratio,
-    make_resampler, planar_shifted_resample_matmul)
+    make_resampler, planar_shifted_resample_conv,
+    planar_shifted_resample_matmul)
 from cubicsdr_tpu.stream.op import StreamOp
 
 TWO_PI = 6.283185307179586
+
+# XLA (no-Pallas) route formulation for the folded mix+resample stage:
+# "matmul" = banded-Toeplitz windows (materializes [N, rows, W] +
+# [N, W, O] in HBM), "conv" = grouped strided conv with per-demod
+# modulated kernels (reads only the gathered stream). A/B'd on hardware
+# per BENCH.md; override with CUBICSDR_XLA_ROUTE=matmul|conv.
+import os as _os
+XLA_ROUTE_FORM = _os.environ.get("CUBICSDR_XLA_ROUTE", "matmul")
 
 
 class ChannelFrontend(StreamOp):
@@ -103,6 +112,8 @@ class ChannelFrontend(StreamOp):
         # phase phase0 + omega*(t - hist_len).
         start_off = rs.Q - rs.KK                   # start - hist_len
         phase_w0 = jnp.mod(phase0 + omega * start_off, TWO_PI)
+        if XLA_ROUTE_FORM == "conv" and z.re.ndim == 2:
+            return planar_shifted_resample_conv(z, rs, omega, phase_w0)
         y = planar_shifted_resample_matmul(z, rs, omega, phase_w0)
         if y is None:
             from cubicsdr_tpu.ops.resample import planar_rational_resample

@@ -157,3 +157,58 @@ def test_frontend_cw_on_wide_channel_regression():
     # Output is non-degenerate (the tone survives into the 500 Hz band)
     # once the multi-stage filters are warm.
     assert np.abs(np.asarray(y)).max() > 0.5
+
+
+def test_shifted_resample_conv_matches_matmul():
+    """The grouped-conv route form (XLA fallback HBM diet) computes the
+    SAME fused shift+resample as the Toeplitz-matmul form — the two are
+    interchangeable behind CUBICSDR_XLA_ROUTE (phase bookkeeping differs
+    only by f32 wrapping, ~1e-4 relative)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from cubicsdr_tpu.ops.planar import PC
+    from cubicsdr_tpu.ops.resample import (
+        RationalResampler, planar_shifted_resample_conv,
+        planar_shifted_resample_matmul)
+    rng = np.random.default_rng(7)
+    for P, Q in [(1, 5), (2, 5), (5, 2), (1, 64)]:
+        rs = RationalResampler(P, Q)
+        N, L = 5, Q * 1280
+        z = PC(jnp.asarray(rng.standard_normal(
+                   (N, rs.hist_len + L)).astype(np.float32)),
+               jnp.asarray(rng.standard_normal(
+                   (N, rs.hist_len + L)).astype(np.float32)))
+        om = rng.uniform(-0.5, 0.5, N).astype(np.float32)
+        ph = rng.uniform(-3, 3, N).astype(np.float32)
+        a = planar_shifted_resample_matmul(z, rs, om, ph)
+        b = planar_shifted_resample_conv(z, rs, om, ph)
+        assert a is not None
+        sc = float(np.max(np.abs(np.asarray(a.re))))
+        for pa, pb in ((a.re, b.re), (a.im, b.im)):
+            np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                       atol=4e-4 * sc)
+
+
+def test_frontend_conv_route_form(monkeypatch):
+    """ChannelFrontend with CUBICSDR_XLA_ROUTE=conv produces the same
+    output stream as the matmul form."""
+    import numpy as np
+    import jax.numpy as jnp
+    import cubicsdr_tpu.receiver.frontend as fr
+    from cubicsdr_tpu.ops.planar import PC, PLANAR
+    rng = np.random.default_rng(8)
+    N, L = 3, 640 * 16
+    x = PC(jnp.asarray(rng.standard_normal((N, L)).astype(np.float32)),
+           jnp.asarray(rng.standard_normal((N, L)).astype(np.float32)))
+    om = np.asarray([0.1, -0.3, 0.7], np.float32)
+    outs = {}
+    for form in ("matmul", "conv"):
+        monkeypatch.setattr(fr, "XLA_ROUTE_FORM", form)
+        fe = fr.ChannelFrontend(1_000_000, 200_000, N, dtype=PLANAR)
+        st = fe.init_state()
+        st, y1 = fe.apply(st, (x, om))
+        st, y2 = fe.apply(st, (x, om))       # streaming continuity too
+        outs[form] = np.stack([np.asarray(y2.re), np.asarray(y2.im)])
+    sc = np.abs(outs["matmul"]).max()
+    np.testing.assert_allclose(outs["conv"], outs["matmul"],
+                               atol=4e-4 * sc)

@@ -713,3 +713,23 @@ def test_profile_trace_endpoint(hx, tmp_path):
         time.sleep(0.2)
     found = [f for _, _, fs in os.walk(p) for f in fs]
     assert found, "no trace files written"
+
+
+def test_bookmark_reorder(hx):
+    """Within-group ordering (the drag-onto-sibling drop of the
+    reference's BookmarkView tree, served as the 'reorder' op)."""
+    for _ in range(3):
+        assert _post(hx.port, "/api/bookmarks",
+                     {"op": "add", "index": 0, "group": "Order"})["ok"]
+    bm = json.loads(_get(hx.port, "/api/bookmarks"))
+    assert len(bm["groups"]["Order"]) == 3
+    # Tag entries by editing labels through the model directly.
+    es = hx.viewer.bookmarks.get_bookmarks("Order")
+    for i, e in enumerate(es):
+        e.label = f"e{i}"
+    assert _post(hx.port, "/api/bookmarks",
+                 {"op": "reorder", "group": "Order", "i": 0, "to": 2})["ok"]
+    labels = [e.label for e in hx.viewer.bookmarks.get_bookmarks("Order")]
+    assert labels == ["e1", "e2", "e0"]
+    assert _post(hx.port, "/api/bookmarks",
+                 {"op": "remove_group", "group": "Order"})["ok"]
