@@ -331,7 +331,7 @@ class LiveReceiver:
             self._st_dist = self.dist.init_state()
             self._st_spec = self.spec.init_state()
             self._install_post()
-        self.zoom = None                     # view rates changed
+            self.zoom = None                 # view rates changed
 
     # --- consumer: ring -> compiled step -> sinks ---
     def _stage_block(self, L: int):
@@ -434,26 +434,32 @@ class LiveReceiver:
         device center) with ``bandwidth`` Hz span; None disables. View
         moves preserve the smoothed display (pan/rescale, not reset)."""
         if offset is None:
-            self.zoom = None
+            with self.step_lock:
+                self.zoom = None
             return
         if bandwidth and not (float(bandwidth) > 0.0):
             # Validate BEFORE lazily creating the view so a bad request
             # can't leave a half-configured zoom active.
             raise ValueError(f"zoom bandwidth must be > 0, got {bandwidth}")
-        if self.zoom is None:
-            from cubicsdr_tpu.visual.spectrum import ZoomSpectrumView
-            self.zoom = ZoomSpectrumView(
-                self.pipeline.sample_rate, self.pipeline.block_len,
-                fft_size=self.spec.fft_size,
-                dtype=PLANAR if self.planar else self._jnp.complex64)
-        prev_bw = self.zoom.resample_bw
-        self.zoom.set_view(float(offset),
-                           float(bandwidth) or self.zoom.view_bandwidth)
-        if self.zoom.resample_bw != prev_bw:
+        with self.step_lock:
+            # The consumer feeds the zoom from inside its locked dispatch
+            # (device-resident feed): view state must never change
+            # mid-feed.
+            if self.zoom is None:
+                from cubicsdr_tpu.visual.spectrum import ZoomSpectrumView
+                self.zoom = ZoomSpectrumView(
+                    self.pipeline.sample_rate, self.pipeline.block_len,
+                    fft_size=self.spec.fft_size,
+                    dtype=PLANAR if self.planar else self._jnp.complex64)
+            z = self.zoom
+            prev_bw = z.resample_bw
+            z.set_view(float(offset),
+                       float(bandwidth) or z.view_bandwidth)
+        if z.resample_bw != prev_bw:
             # Background-compile the one-step-away zoom levels so the next
             # wheel click reuses a warm program (minutes per cold compile
             # on the tunneled chip).
-            self.zoom.prewarm_adjacent()
+            z.prewarm_adjacent()
 
     def set_display(self, lps=None, fft_average_rate=None, peak_hold=None,
                     demod_view_fft=None):
@@ -812,14 +818,27 @@ class LiveReceiver:
         keys = [self.row_key(i) for i in range(n_rows)]
         ctls = [(np.array(c["gain"], np.float32),
                  np.array(c["active"], bool)) for c in self.controls]
+        # Zoomed view fed from the DEVICE-resident block (no host->device
+        # re-upload); its small outputs are pulled by the deferred finish.
+        zoom_h = None
+        if self.zoom is not None:
+            try:
+                h = self.zoom.feed_device(out["iq"])
+                if h is not None:
+                    # Pin the VIEW OBJECT with its handles: a zoom-off
+                    # between this dispatch and the deferred finish must
+                    # not leave the finish dereferencing self.zoom=None.
+                    zoom_h = (self.zoom, *h)
+            except Exception as e:           # noqa: BLE001 — advisory view
+                self.metrics.note("zoom_error", str(e))
         return (packed, mix_dev, g_parts, self.spec.fft_size, keys, ctls,
-                dv_n)
+                dv_n, zoom_h)
 
     def _fanout(self, iq, out, planes=None):
         self._fanout_finish(self._fanout_dispatch(iq, out), iq, out, planes)
 
     def _fanout_finish(self, disp, iq, out, planes=None):
-        packed, mix_dev, g_parts, P, keys, ctls, dv_n = disp
+        packed, mix_dev, g_parts, P, keys, ctls, dv_n, zoom_h = disp
         host = np.asarray(packed)            # the ONE device->host pull
         pts = host[:P]
         nv = int(host[P])
@@ -852,8 +871,13 @@ class LiveReceiver:
 
         if nv:
             self.waterfall.add_lines(np.tile(pts, (nv, 1)))
-        # Zoomed spectrum view, when active (host planes: no pull).
-        if self.zoom is not None and planes is not None:
+        # Zoomed spectrum view: device-fed handles pulled here; host
+        # planes only as the chunk-misaligned fallback.
+        if zoom_h is not None:
+            z, pts_d, nv_d = zoom_h
+            if int(nv_d):
+                z.points = np.asarray(pts_d)
+        elif self.zoom is not None and planes is not None:
             p = np.stack(planes)
             if p.dtype != np.float32:
                 p = p.astype(np.float32) * self.ingest_scale

@@ -419,6 +419,24 @@ class ZoomSpectrumView:
             self.view_offset = float(offset)
 
     # ---- streaming -------------------------------------------------------
+    def feed_device(self, x):
+        """Device-resident feed: ``x`` is the compiled step's full-band
+        block (PC planes or complex) ALREADY on the device — no
+        host->device re-upload (on a tunneled chip the host-planes
+        ``feed`` path re-ships ~8 MB/block of f32, tripling the wire
+        load whenever the zoom is open). Requires the view chunk to
+        equal the block length (zoom Q is a power of two, which divides
+        the 128-aligned production blocks); returns (points, n_valid)
+        DEVICE handles for the caller's deferred pull, or None when the
+        chunk doesn't line up (caller falls back to host feed)."""
+        if self.chunk != self.block_len:
+            return None
+        omega = jnp.float32(-2.0 * np.pi * self.view_offset
+                            / self.input_rate)
+        self._st_front, self.st_core, pts, nv = self._step(
+            self._st_front, self.st_core, x, omega)
+        return pts, nv
+
     def feed(self, planes: np.ndarray) -> np.ndarray | None:
         """planes: float32 [2, L] (re, im) host block. Buffers to the fixed
         chunk, runs the compiled view step, returns the newest display

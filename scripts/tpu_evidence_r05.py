@@ -270,21 +270,31 @@ def digital_check(args):
 
 
 class _PacedSource:
-    """Emits int blocks at the capture's real-time rate (the SDR role)."""
+    """Emits int blocks at the capture's real-time rate (the SDR role).
+    ``reset()`` re-bases the schedule to NOW — a long warm-up/compile
+    phase must not leave a backlog that the source then sprays at full
+    speed through the measured window (that backlog shed as hundreds of
+    MS of 'drops' in the first chip churn run)."""
 
     def __init__(self, blocks, L, rate):
         self.blocks, self.L, self.rate = blocks, L, rate
         self.stopping = False
+        self._t0 = None
+        self._i = 0
+
+    def reset(self):
+        self._t0 = time.perf_counter()
+        self._i = 0
 
     def __iter__(self):
-        i, t0 = 0, time.perf_counter()
+        self.reset()
         while not self.stopping:
-            due = t0 + (i + 1) * self.L / self.rate
+            due = self._t0 + (self._i + 1) * self.L / self.rate
             now = time.perf_counter()
             if due > now:
                 time.sleep(due - now)
-            yield self.blocks[i % len(self.blocks)]
-            i += 1
+            yield self.blocks[self._i % len(self.blocks)]
+            self._i += 1
 
     def stop(self):
         self.stopping = True
@@ -303,6 +313,8 @@ def churn_soak(args):
 
     on_cpu = jax.devices()[0].platform == "cpu"
     rate = 2_400_000.0
+    dt_np = {"cs16": np.int16, "cs8": np.int8}[args.format]
+    full = float(np.iinfo(dt_np).max)
     # Every plan the churn cycle visits; the pinned block length is a
     # common multiple of ALL of them, so no rebuild ever changes the
     # wideband format (which would rebuild the ring and silently drop
@@ -342,15 +354,15 @@ def churn_soak(args):
     msg = np.sin(2 * np.pi * 1000.0 * t)
     iqc = 0.5 * np.exp(1j * (2 * np.pi * 200e3 * t
                              + 2 * np.pi * 75e3 * np.cumsum(msg) / rate))
-    i16 = np.stack([(iqc.real * 32767).astype(np.int16),
-                    (iqc.imag * 32767).astype(np.int16)])
-    blocks = [np.ascontiguousarray(i16[:, b * L:(b + 1) * L])
+    raw = np.stack([(iqc.real * full).astype(dt_np),
+                    (iqc.imag * full).astype(dt_np)])
+    blocks = [np.ascontiguousarray(raw[:, b * L:(b + 1) * L])
               for b in range(4)]
 
     src = _PacedSource(blocks, L, rate)
     lr = LiveReceiver(rx, controls, src, center_freq=100e6,
                       waterfall_fft=1024, waterfall_lines=64,
-                      ring_seconds=8.0, ingest_dtype=np.int16)
+                      ring_seconds=8.0, ingest_dtype=dt_np)
     viewer = WebViewer(lr, mgr, keyed, port=0).start()
     port = viewer.port
 
@@ -424,10 +436,24 @@ def churn_soak(args):
     warm_s = time.perf_counter() - t0
     assert not consumer_exc, consumer_exc
 
-    # Let the paced producer's backlog/ring settle to steady state so the
-    # measured window starts clean.
+    # Probe the link's CURRENT wire rate at this row's format so the
+    # result is self-describing (the tunnel varies hour to hour).
+    import jax.numpy as jnp
+    probe = jax.jit(lambda a, b: (a.astype(jnp.float32).sum()
+                                  + b.astype(jnp.float32).sum()))
+    float(probe(blocks[0][0], blocks[0][1]))
+    t0 = time.perf_counter()
+    for i in (1, 2):
+        float(probe(jnp.asarray(blocks[i][0]),
+                    jnp.asarray(blocks[i][1])))
+    wire_mbps = round(2 * blocks[0].nbytes
+                      / (time.perf_counter() - t0) / 1e6, 1)
+
+    # Phase 2 — MEASURE: re-base the source's real-time schedule (the
+    # warm-up backlog must not spray through the window), reset
+    # counters, soak with continuous churn.
+    src.reset()
     time.sleep(2 * L / rate)
-    # Phase 2 — MEASURE: reset counters, soak with continuous churn.
     lr.metrics = type(lr.metrics)()
     t0 = time.perf_counter()
     deadline = t0 + 60.0 * args.minutes
@@ -450,6 +476,7 @@ def churn_soak(args):
     drops = int(snap.get("ingest", {}).get("dropped", 0))
     res = {"tag": "churn_soak",
            "platform": jax.devices()[0].platform,
+           "format": args.format, "wire_mbps_probe": wire_mbps,
            "minutes": round(dt / 60.0, 2), "warmup_s": round(warm_s, 1),
            "block_len": L, "churn_cycles": cycles,
            "rest_ops": cycles * 17, "blocks": blocks_n,
@@ -524,6 +551,7 @@ if __name__ == "__main__":
     d.add_argument("--ref", default=None)
     c = sub.add_parser("churn_soak")
     c.add_argument("--minutes", type=float, default=5.0)
+    c.add_argument("--format", choices=["cs16", "cs8"], default="cs16")
     s = sub.add_parser("soak")
     s.add_argument("--rate", type=float, default=4_800_000.0)
     s.add_argument("--minutes", type=float, default=3.0)
