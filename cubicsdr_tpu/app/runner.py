@@ -391,18 +391,25 @@ class LiveReceiver:
                 blk = None
             dispatched = None
             if blk is not None:
-                iq, planes, _ = blk
+                iq, planes, Lb = blk
                 with self.step_lock:
-                    self.state, out = self.step(self.state,
-                                                (iq, self.controls))
-                    # The packed post-step rides the device queue right
-                    # behind its own step; only the host PULL is deferred
-                    # one block (_fanout_finish below).
-                    disp = self._fanout_dispatch(iq, out)
+                    # Size re-checked UNDER the lock: a format swap can
+                    # land between the unlocked pre-check and here.
+                    if Lb != self.pipeline.block_len:
+                        self.metrics.tick("pipeline", 0, dropped=Lb)
+                        blk = None
+                    else:
+                        self.state, out = self.step(self.state,
+                                                    (iq, self.controls))
+                        # The packed post-step rides the device queue
+                        # right behind its own step; only the host PULL
+                        # is deferred one block (_fanout_finish below).
+                        disp = self._fanout_dispatch(iq, out)
                     L2 = self.pipeline.block_len
-                self.metrics.tick("pipeline", L)
-                n += 1
-                dispatched = (disp, iq, out, planes)
+                if blk is not None:
+                    self.metrics.tick("pipeline", L)
+                    n += 1
+                    dispatched = (disp, iq, out, planes)
                 # Stage block n+1 while block n computes and block n-1's
                 # fanout pulls. The staged future persists on self so a
                 # bounded run_blocks call hands its lookahead block to
@@ -441,16 +448,22 @@ class LiveReceiver:
             # Validate BEFORE lazily creating the view so a bad request
             # can't leave a half-configured zoom active.
             raise ValueError(f"zoom bandwidth must be > 0, got {bandwidth}")
+        z = self.zoom
+        if z is None:
+            from cubicsdr_tpu.visual.spectrum import ZoomSpectrumView
+            z = ZoomSpectrumView(
+                self.pipeline.sample_rate, self.pipeline.block_len,
+                fft_size=self.spec.fft_size,
+                dtype=PLANAR if self.planar else self._jnp.complex64)
+        # Compile the target level BEFORE attaching/switching: the
+        # consumer feeds the view inside its locked dispatch, where a
+        # cold compile would stall streaming and the control plane.
+        z.prewarm_level(float(bandwidth) or z.view_bandwidth)
         with self.step_lock:
-            # The consumer feeds the zoom from inside its locked dispatch
-            # (device-resident feed): view state must never change
-            # mid-feed.
+            # View state must never change mid-feed (the device-resident
+            # feed runs under this lock on the consumer).
             if self.zoom is None:
-                from cubicsdr_tpu.visual.spectrum import ZoomSpectrumView
-                self.zoom = ZoomSpectrumView(
-                    self.pipeline.sample_rate, self.pipeline.block_len,
-                    fft_size=self.spec.fft_size,
-                    dtype=PLANAR if self.planar else self._jnp.complex64)
+                self.zoom = z
             z = self.zoom
             prev_bw = z.resample_bw
             z.set_view(float(offset),

@@ -368,30 +368,41 @@ class ZoomSpectrumView:
         self._buf = np.zeros((2, 0), np.float32)
         self.points: np.ndarray | None = None
 
+    def _warm_one(self, bw: float):
+        import jax
+        from cubicsdr_tpu.ops.planar import PC
+        try:
+            nco, res, dist, chunk, step = self._make_front(bw)
+            z = np.zeros(chunk, np.float32)
+            x = (PC(jnp.asarray(z), jnp.asarray(z)) if self.planar
+                 else jnp.asarray(z.astype(np.complex64)))
+            out = step((nco.init_state(), res.init_state(),
+                        dist.init_state()),
+                       self.core.init_state(), x, jnp.float32(0.0))
+            jax.block_until_ready(out)
+        except Exception:           # noqa: BLE001 — warm-up is advisory
+            pass
+
+    def prewarm_level(self, bandwidth: float):
+        """Synchronously compile the view program for ``bandwidth``
+        (snapped). Callers run this OUTSIDE any streaming lock before
+        making the level current — the consumer feeds the view inside
+        its locked dispatch, where a cold compile would stall both the
+        stream and the control plane."""
+        self._warm_one(self._snap_bw(float(bandwidth)))
+
     def prewarm_adjacent(self, background: bool = True):
         """Pre-compile the +-1 zoom-step view programs (the zoom levels one
         wheel-click away) so the first real zoom never stalls the stream —
         on the tunneled chip a cold view compile costs minutes."""
         import threading
-        import jax
         targets = [bw for bw in (self.resample_bw / SPECTRUM_VZM,
                                  self.resample_bw * SPECTRUM_VZM)
                    if self.input_rate / (1 << 14) <= bw <= self.input_rate]
 
         def work():
-            from cubicsdr_tpu.ops.planar import PC
             for bw in targets:
-                try:
-                    nco, res, dist, chunk, step = self._make_front(bw)
-                    z = np.zeros(chunk, np.float32)
-                    x = (PC(jnp.asarray(z), jnp.asarray(z)) if self.planar
-                         else jnp.asarray(z.astype(np.complex64)))
-                    out = step((nco.init_state(), res.init_state(),
-                                dist.init_state()),
-                               self.core.init_state(), x, jnp.float32(0.0))
-                    jax.block_until_ready(out)
-                except Exception:       # noqa: BLE001 — warm-up is advisory
-                    pass
+                self._warm_one(bw)
 
         if background:
             threading.Thread(target=work, daemon=True).start()
