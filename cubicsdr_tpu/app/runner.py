@@ -146,8 +146,10 @@ class LiveReceiver:
 
         # Zoomed main-spectrum view (the is_view SpectrumVisualProcessor,
         # ref: src/process/SpectrumVisualProcessor.cpp:283-386) with
-        # retune/zoom display continuity. Created lazily by set_zoom().
+        # retune/zoom display continuity. Created lazily by set_zoom();
+        # zoom-off stashes the view (compiled levels are expensive).
         self.zoom = None
+        self._zoom_stash = None
 
         self._stop = threading.Event()
         self._stage_pool = None          # lazy 1-thread H2D staging worker
@@ -331,7 +333,7 @@ class LiveReceiver:
             self._st_dist = self.dist.init_state()
             self._st_spec = self.spec.init_state()
             self._install_post()
-            self.zoom = None                 # view rates changed
+            self.zoom = self._zoom_stash = None   # view rates changed
 
     # --- consumer: ring -> compiled step -> sinks ---
     def _stage_block(self, L: int):
@@ -442,6 +444,11 @@ class LiveReceiver:
         moves preserve the smoothed display (pan/rescale, not reset)."""
         if offset is None:
             with self.step_lock:
+                # Stash, don't discard: the view carries per-level
+                # compiled programs (minutes each on a remote-compile
+                # TPU) — zoom-off/zoom-on churn must reattach them.
+                if self.zoom is not None:
+                    self._zoom_stash = self.zoom
                 self.zoom = None
             return
         if bandwidth and not (float(bandwidth) > 0.0):
@@ -449,6 +456,11 @@ class LiveReceiver:
             # can't leave a half-configured zoom active.
             raise ValueError(f"zoom bandwidth must be > 0, got {bandwidth}")
         z = self.zoom
+        if z is None and self._zoom_stash is not None \
+                and self._zoom_stash.input_rate == self.pipeline.sample_rate \
+                and self._zoom_stash.block_len == self.pipeline.block_len \
+                and self._zoom_stash.fft_size == self.spec.fft_size:
+            z = self._zoom_stash
         if z is None:
             from cubicsdr_tpu.visual.spectrum import ZoomSpectrumView
             z = ZoomSpectrumView(
@@ -656,7 +668,17 @@ class LiveReceiver:
         toggles and plan-cache swaps must not pay a fresh trace/compile
         (minutes on a remote-compile TPU)."""
         dv_on = self._dv_gi is not None
-        key = (id(self.pipeline), id(self.dist), id(self.spec),
+        core = getattr(self.spec, "core", self.spec)
+        # VALUE-keyed: display toggles (lps 20<->30, averaging, peak
+        # hold) rebuild dist/spec objects with previously-seen params —
+        # id-keyed caching missed on every toggle and recompiled the
+        # packed post-step each time (seconds-long stream stalls per
+        # REST op on a remote-compile TPU, found by the chip churn
+        # soak). The program is fully determined by these parameters
+        # because _make_post BINDS its dist/spec objects at creation.
+        key = (id(self.pipeline), self.spec.fft_size, core.rate,
+               bool(core.peak_hold), self.dist.lps, self.dist.fft_size,
+               self.dist.block_len, self.dist.sample_rate,
                self._dv_gi, self.demod_view_fft if dv_on else None)
         hit = self._post_cache.get(key)
         if hit is not None:
@@ -701,11 +723,17 @@ class LiveReceiver:
         the live loop's block time."""
         import jax
         jnp = self._jnp
+        # Bind the visual-chain objects NOW: the jit traces lazily (at
+        # first dispatch), and the value-keyed post cache is only sound
+        # if a cached program can never pick up a dist/spec swapped in
+        # after its creation.
+        dist, spec = self.dist, self.spec
+        dv_dist, dv_spec = self._dv_dist, self._dv_spec
 
         def _post(sts, x, mix, g_parts, dv_tap, dv_row):
             st_dist, st_spec, st_dv = sts
-            st_dist, (frames, valid) = self.dist.apply(st_dist, x)
-            st_spec, disp = self.spec.apply(st_spec, frames, valid=valid)
+            st_dist, (frames, valid) = dist.apply(st_dist, x)
+            st_spec, disp = spec.apply(st_spec, frames, valid=valid)
             parts = [disp["spectrum_points"].ravel(),
                      jnp.sum(valid.astype(jnp.int32))
                         .astype(jnp.float32)[None]]
@@ -726,9 +754,8 @@ class LiveReceiver:
                 tap = (PC(dv_tap.re[dv_row], dv_tap.im[dv_row])
                        if isinstance(dv_tap, PC) else dv_tap[dv_row])
                 st_dvd, st_dvs = st_dv
-                st_dvd, (dfr, dval) = self._dv_dist.apply(st_dvd, tap)
-                st_dvs, ddisp = self._dv_spec.apply(st_dvs, dfr,
-                                                    valid=dval)
+                st_dvd, (dfr, dval) = dv_dist.apply(st_dvd, tap)
+                st_dvs, ddisp = dv_spec.apply(st_dvs, dfr, valid=dval)
                 parts.append(ddisp["spectrum_points"].ravel())
                 st_dv = (st_dvd, st_dvs)
             return (st_dist, st_spec, st_dv), jnp.concatenate(parts)

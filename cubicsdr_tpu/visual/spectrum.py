@@ -309,6 +309,7 @@ class ZoomSpectrumView:
         self._front_cache: dict = {}
         self._front_lock = threading.Lock()
         self.front_cache_hits = 0
+        self._warmed: set = set()        # step ids already traced+run
         self._build_front()
 
     def _snap_bw(self, bandwidth: float) -> float:
@@ -373,6 +374,12 @@ class ZoomSpectrumView:
         from cubicsdr_tpu.ops.planar import PC
         try:
             nco, res, dist, chunk, step = self._make_front(bw)
+            key = id(step)
+            if key in self._warmed:
+                # Already traced+compiled: a dummy feed would ship a
+                # full zero block to the device for nothing (zoom-on
+                # churn re-warms its level every time).
+                return
             z = np.zeros(chunk, np.float32)
             x = (PC(jnp.asarray(z), jnp.asarray(z)) if self.planar
                  else jnp.asarray(z.astype(np.complex64)))
@@ -380,6 +387,7 @@ class ZoomSpectrumView:
                         dist.init_state()),
                        self.core.init_state(), x, jnp.float32(0.0))
             jax.block_until_ready(out)
+            self._warmed.add(key)
         except Exception:           # noqa: BLE001 — warm-up is advisory
             pass
 
