@@ -395,9 +395,13 @@ class LiveReceiver:
             if blk is not None:
                 iq, planes, Lb = blk
                 with self.step_lock:
-                    # Size re-checked UNDER the lock: a format swap can
-                    # land between the unlocked pre-check and here.
-                    if Lb != self.pipeline.block_len:
+                    # Size and representation re-checked UNDER the lock:
+                    # a format swap can land between the unlocked
+                    # pre-check and here (a planar<->complex swap would
+                    # otherwise feed the new step a stale-repr block).
+                    ok_repr = (self.ingest_dtype != np.float32
+                               or isinstance(iq, PC) == self.planar)
+                    if Lb != self.pipeline.block_len or not ok_repr:
                         self.metrics.tick("pipeline", 0, dropped=Lb)
                         blk = None
                     else:
