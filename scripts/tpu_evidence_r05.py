@@ -516,11 +516,16 @@ def soak(args):
         (rng.standard_normal((2, L)) * 0.25 * full).astype(dt_np))
         for _ in range(4)]
 
-    lr = LiveReceiver(rx, controls, _PacedSource(blocks, L, rate),
+    src = _PacedSource(blocks, L, rate)
+    lr = LiveReceiver(rx, controls, src,
                       waterfall_fft=1024, waterfall_lines=64,
-                      ring_seconds=4.0, ingest_dtype=dt_np)
+                      ring_seconds=args.ring, ingest_dtype=dt_np)
     lr.start_producer()
     lr.run_blocks(max_blocks=4)              # compile + warm
+    # Re-base the source's real-time schedule: the warm-up's compile
+    # backlog must not spray through the measured window as fake drops.
+    src.reset()
+    time.sleep(2 * L / rate)
     lr.metrics = type(lr.metrics)()
     t0 = time.perf_counter()
     deadline = t0 + 60.0 * args.minutes
@@ -556,6 +561,9 @@ if __name__ == "__main__":
     s.add_argument("--rate", type=float, default=4_800_000.0)
     s.add_argument("--minutes", type=float, default=3.0)
     s.add_argument("--format", choices=["cs16", "cs8"], default="cs8")
+    s.add_argument("--ring", type=float, default=4.0,
+                   help="ring depth in seconds (the queue-depth knob: "
+                        "deeper rings ride longer transport transients)")
     args = ap.parse_args()
     {"digital_check": digital_check, "churn_soak": churn_soak,
      "soak": soak}[args.mode](args)

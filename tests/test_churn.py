@@ -170,11 +170,20 @@ def test_churn_adversary_vs_live_loop(tmp_path):
                 assert _ctl(port, {"action": "set", "index": idx,
                                    "key": "recording",
                                    "value": False})["ok"]
-            # Display/zoom/solo/view churn.
+            # Display/zoom/solo/view churn (+ the round-5 surfaces:
+            # device ppm nudge, bookmark filing/reorder, per-sink rate).
             assert _ctl(port, {"action": "zoom", "offset": 200e3,
                                "bandwidth": 250e3})["ok"]
             assert _ctl(port, {"action": "display",
                                "lps": 20.0 + it})["ok"]
+            assert _ctl(port, {"action": "ppm", "delta": 1})["ok"]
+            assert _post(port, "/api/bookmarks",
+                         {"op": "add", "index": 0, "group": "churn"})["ok"]
+            assert _ctl(port, {"action": "audio_output",
+                               "name": "chsink",
+                               "backend": "null",
+                               "rate": 44100,
+                               "demods": [0]})["ok"]
             assert _ctl(port, {"action": "audio_solo", "index": 0})["ok"]
             assert _ctl(port, {"action": "view", "index": 0})["ok"]
             wait_blocks(2)
