@@ -82,6 +82,9 @@ _PAGE = """<!doctype html>
  avg <input id="avg" size="4" onchange="setDisplay()">
  peak <input id="peak" type="checkbox" onchange="setDisplay()">
  snap <input id="snap" size="6" onchange="setSnap()">
+ ppm ref <input id="ppmref" size="10" placeholder="Hz">
+ <button onclick="ppmMeasure()">measure</button>
+ <span id="ppmout"></span>
  perf <select id="perf" onchange="setPerf()">
   <option>low</option><option>normal</option><option>high</option>
  </select></div>
@@ -266,6 +269,19 @@ async function bookmarkSel() {
 async function bmGo(grp, i) {
   await fetch('/api/bookmarks', {method:'POST',
     body: JSON.stringify({op:'activate', group:grp, i:i})});
+}
+async function ppmMeasure() {
+  // PPM calibration aid (ref: scope PPM mode + AppFrame PPM dialog):
+  // measure a known carrier, show the suggested correction, one click
+  // to apply it.
+  const ref = parseFloat(document.getElementById('ppmref').value);
+  if (!ref) return;
+  const m = await (await fetch('/api/ppm?ref=' + ref)).json();
+  const o = document.getElementById('ppmout');
+  if (!m.ok) { o.textContent = m.error; return; }
+  o.innerHTML = `off ${m.offset_hz} Hz (${m.offset_ppm} ppm) ` +
+    `<button onclick="ctl({action:'ppm', value:${m.suggested_ppm}})">` +
+    `apply ${m.suggested_ppm} ppm</button>`;
 }
 function bmDrag(ev, grp, i) {
   ev.dataTransfer.setData('text/plain',
