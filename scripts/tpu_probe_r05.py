@@ -165,7 +165,8 @@ def h2d(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["pfb_pad", "pipe24", "h2d", "all"])
+    ap.add_argument("cmd", choices=["pfb_pad", "pipe24", "h2d",
+                                    "shard6", "all"])
     args = ap.parse_args()
     if args.cmd in ("pfb_pad", "all"):
         pfb_pad(args)
@@ -173,6 +174,56 @@ def main():
         pipe24(args)
     if args.cmd in ("h2d", "all"):
         h2d(args)
+    if args.cmd == "shard6":
+        shard6(args)
+
+
+def shard6(args):
+    """ShardedReceiver over the PADDED fused channelizer (M=6, the 2.4
+    MS/s production shape) on an n=1 chip mesh: the halo-exchange
+    shard_map program must compose with the sublane-padded kernel and
+    match the unsharded pipeline (r3 proved this at M=16 only)."""
+    import jax
+    import jax.numpy as jnp
+    from cubicsdr_tpu.ops.planar import PC, PLANAR, from_complex
+    from cubicsdr_tpu.parallel.mesh import make_receiver_mesh
+    from cubicsdr_tpu.parallel.sharded import ShardedReceiver
+    from cubicsdr_tpu.receiver import ReceiverPipeline, DemodGroupSpec
+
+    FS = 2_400_000.0
+    groups = [DemodGroupSpec("FM", 200000, 2)]
+    mesh = make_receiver_mesh(n_time=1, n_chan=1)
+    srx = ShardedReceiver(FS, num_channels=6, groups=groups, mesh=mesh,
+                          use_pallas=True)
+    rx = ReceiverPipeline(FS, groups, num_channels=6, dtype=PLANAR,
+                          use_pallas=True, block_len=srx.block_len)
+    controls = rx.control_template()
+    controls[0]["frequency"] = np.asarray([200e3, -400e3], np.float32)
+
+    L = srx.block_len
+    t = np.arange(2 * L) / FS
+    msg = np.sin(2 * np.pi * 1000.0 * t)
+    iqc = np.exp(1j * (2 * np.pi * 200e3 * t
+                       + 2 * np.pi * 75e3 * np.cumsum(msg) / FS)
+                 ).astype(np.complex64)
+
+    sstep = srx.make_step()
+    sstate = srx.place_state(srx.init_state())
+    ustep = jax.jit(rx.apply)
+    ustate = rx.init_state()
+    errs = []
+    for b in range(2):
+        blk = iqc[b * L:(b + 1) * L]
+        sstate, sout = sstep(sstate, srx.shard_iq(from_complex(blk)),
+                             controls)
+        ustate, uout = ustep(ustate, (from_complex(blk), controls))
+        a = np.asarray(sout["groups"][0]["audio"])
+        bb = np.asarray(uout["groups"][0]["audio"])
+        errs.append(float(np.max(np.abs(a - bb))))
+    print(json.dumps({
+        "tag": "sharded_m6_padded", "platform": jax.devices()[0].platform,
+        "block_len": L, "max_abs_err": [round(e, 6) for e in errs],
+        "ok": bool(max(errs) < 3e-3)}), flush=True)
 
 
 if __name__ == "__main__":
