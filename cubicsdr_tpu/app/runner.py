@@ -33,6 +33,56 @@ from cubicsdr_tpu.visual import (FFTDataDistributor, PlanarSpectrumProcessor,
                                  SpectrumProcessor, Waterfall)
 
 
+class _Stager:
+    """Single DAEMON worker running staged host->device puts.
+
+    A ThreadPoolExecutor's non-daemon workers are joined at interpreter
+    exit: one put hung on a dead transport would hang process shutdown.
+    The reference force-exits when termination stalls for this exact
+    reason (ref: src/CubicSDR.cpp:448-490 ::exit(11)); a daemon thread
+    dies with the process instead."""
+
+    class _Box:
+        def __init__(self):
+            self._ev = threading.Event()
+            self._val = None
+            self._exc = None
+
+        def result(self):
+            self._ev.wait()
+            if self._exc is not None:
+                raise self._exc
+            return self._val
+
+    def __init__(self, name: str = "cs-stage"):
+        import queue
+        self._q: "queue.Queue" = queue.Queue()
+        self._t = threading.Thread(target=self._run, name=name,
+                                   daemon=True)
+        self._t.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            fn, args, box = item
+            try:
+                box._val = fn(*args)
+            except BaseException as e:       # noqa: BLE001 — re-raised
+                box._exc = e
+            finally:
+                box._ev.set()
+
+    def submit(self, fn, *args) -> "_Stager._Box":
+        box = self._Box()
+        self._q.put((fn, args, box))
+        return box
+
+    def shutdown(self):
+        self._q.put(None)
+
+
 class LiveReceiver:
     def __init__(self, pipeline, controls, source,
                  center_freq: float = 0.0,
@@ -372,8 +422,7 @@ class LiveReceiver:
         pop-while-upstream-reads)."""
         pool = self._stage_pool
         if pool is None:
-            from concurrent.futures import ThreadPoolExecutor
-            pool = self._stage_pool = ThreadPoolExecutor(1, "cs-stage")
+            pool = self._stage_pool = _Stager()
         n = 0
         pending = None                  # (iq, out, planes) awaiting fanout
         while not self._stop.is_set():
@@ -992,7 +1041,7 @@ class LiveReceiver:
         if self._producer is not None:
             self._producer.join(timeout=2.0)
         if self._stage_pool is not None:
-            self._stage_pool.shutdown(wait=True)
+            self._stage_pool.shutdown()
             self._stage_pool = self._staged = None
         for r in self._recorders.values():
             r.close()
