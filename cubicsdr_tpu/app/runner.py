@@ -660,9 +660,9 @@ class LiveReceiver:
                 off += rows
                 continue
             gain, active = ctls[gi]
-            for ri in range(rows):
+            for pos, ri in enumerate(h["audio_rows"]):
                 if keys[off + ri] in sel and bool(active[ri]):
-                    a = h["audio"][ri] * float(gain[ri])
+                    a = h["audio"][pos] * float(gain[ri])
                     if a.shape[0] == 1:
                         a = np.concatenate([a, a])
                     acc = a.copy() if acc is None else acc + a
@@ -682,9 +682,9 @@ class LiveReceiver:
             rows = h["level"].shape[0]
             for ri in range(rows):
                 if keys[off + ri] == solo:
-                    if "audio" not in h:
-                        return None          # digital group: no audio
-                    a = h["audio"][ri]
+                    if "audio" not in h or ri not in h["audio_rows"]:
+                        return None          # digital / not packed
+                    a = h["audio"][h["audio_rows"].index(ri)]
                     return (np.concatenate([a, a]) if a.shape[0] == 1
                             else a)
             off += rows
@@ -865,22 +865,42 @@ class LiveReceiver:
     def _pack_parts(self, out):
         """(mix, g_parts) args for the packed post-step. The structure is
         static per (plan, recording/audio config): toggling recording or
-        attaching a host audio output retraces the post-step once."""
+        attaching a host audio output retraces the post-step once.
+
+        Per-demod audio is packed for ONLY the rows the host actually
+        needs (active recorders, subset-sink members, the solo target) —
+        shipping the whole farm's audio when one demod records would
+        put MBs per block back on the wire the packed-pull design
+        exists to spare."""
         rec = self.any_recording()
-        want_audio = rec or any(
-            s["demods"] is not None for s in self.audio_sinks.values()
-        ) or (self.audio_solo is not None
-              and "default" in self.audio_sinks)
+        sink_keys = set()
+        for s in self.audio_sinks.values():
+            if s["demods"] is not None:
+                sink_keys.update(s["demods"])
+        if self.audio_solo is not None and "default" in self.audio_sinks:
+            sink_keys.add(self.audio_solo)
         g_parts = []
+        off = 0
         for g in out.get("groups", ()):
+            n = g["level"].shape[0]
             has_audio = "audio" in g
+            rows = []
+            if has_audio and (rec or sink_keys):
+                for ri in range(n):
+                    key = self.row_key(off + ri)
+                    if ((rec and self.recording_enabled(key))
+                            or key in sink_keys):
+                        rows.append(ri)
             g_parts.append({
                 "level": g["level"],
                 "squelched": (g["squelched"]
                               if rec and has_audio else None),
                 "symbols": g.get("symbols"),
-                "audio": g["audio"] if want_audio and has_audio else None,
+                "audio": (g["audio"][np.asarray(rows)]
+                          if rows else None),
+                "audio_rows": tuple(rows),
             })
+            off += n
         return out.get("mix"), g_parts
 
     def _fanout_dispatch(self, iq, out):
@@ -953,7 +973,10 @@ class LiveReceiver:
             if gp["symbols"] is not None:
                 h["symbols"] = take(gp["symbols"].shape).astype(np.int32)
             if gp["audio"] is not None:
+                # Only the host-needed rows were packed; audio_rows maps
+                # packed position -> group row index.
                 h["audio"] = take(gp["audio"].shape)
+                h["audio_rows"] = gp["audio_rows"]
             if "iq" in g:
                 h["iq"] = g["iq"]     # device tap: pulled only on demand
             hgroups.append(h)
@@ -1011,7 +1034,7 @@ class LiveReceiver:
             if audio is None or squelched is None:
                 gi_off += rows
                 continue
-            for ri in range(rows):
+            for pos, ri in enumerate(h["audio_rows"]):
                 key = keys[gi_off + ri]
                 if not self.recording_enabled(key):
                     continue
@@ -1022,7 +1045,7 @@ class LiveReceiver:
                         int(self.pipeline.audio_rate),
                         channels=audio.shape[1],
                         squelch_option=sq, time_limit_s=tl)
-                self._recorders[key].write(audio[ri],
+                self._recorders[key].write(audio[pos],
                                            bool(squelched[ri]))
             gi_off += rows
         if self.on_block is not None:

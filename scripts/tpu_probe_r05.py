@@ -165,8 +165,9 @@ def h2d(args):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--blocks", type=int, default=120)
     ap.add_argument("cmd", choices=["pfb_pad", "pipe24", "h2d",
-                                    "shard6", "all"])
+                                    "shard6", "interactive", "all"])
     args = ap.parse_args()
     if args.cmd in ("pfb_pad", "all"):
         pfb_pad(args)
@@ -176,6 +177,8 @@ def main():
         h2d(args)
     if args.cmd == "shard6":
         shard6(args)
+    if args.cmd == "interactive":
+        interactive(args)
 
 
 def shard6(args):
@@ -224,6 +227,138 @@ def shard6(args):
         "tag": "sharded_m6_padded", "platform": jax.devices()[0].platform,
         "block_len": L, "max_abs_err": [round(e, 6) for e in errs],
         "ok": bool(max(errs) < 3e-3)}), flush=True)
+
+
+def interactive(args):
+    """Interactive-features cost on the LIVE loop: measure sustained
+    MS/s with nothing active vs with zoom + demod-view + recording + a
+    subset audio sink ALL active. Round-5 design claim under test: the
+    views compute in-graph and ride the one packed pull, so interactive
+    use adds no per-block round-trips (VERDICT r4 items 2b/3)."""
+    import tempfile
+    import jax
+    from cubicsdr_tpu.app.runner import LiveReceiver
+    from cubicsdr_tpu.ops.planar import PLANAR
+    from cubicsdr_tpu.receiver import ReceiverPipeline, DemodGroupSpec
+
+    fs = 8_000_000
+    on_cpu = jax.devices()[0].platform == "cpu"
+    specs = [DemodGroupSpec("FM", 200000, 16)]
+    rx0 = ReceiverPipeline(fs, specs, dtype=PLANAR)
+    m = int(np.lcm(rx0.group_block_multiple(0), rx0._decim * 128))
+    L = max(m, ((1 << 20) // m) * m)
+    rx = ReceiverPipeline(fs, specs, dtype=PLANAR, use_pallas=not on_cpu,
+                          block_len=L)
+    controls = rx.control_template()
+    controls[0]["frequency"] = np.asarray(
+        [((i % 16) - 8) * 500e3 + 20e3 for i in range(16)], np.float32)
+    rng = np.random.default_rng(5)
+    blocks = [np.ascontiguousarray(
+        (rng.standard_normal((2, L)) * 8000).astype(np.int16))
+        for _ in range(4)]
+
+    class _Src:
+        def __init__(self):
+            self.stop_flag = False
+            self.get_ring = lambda: None
+
+        def __iter__(self):
+            i = 0
+            while not self.stop_flag:
+                ring = self.get_ring()
+                while (ring is not None
+                       and ring.fill + L > ring.capacity
+                       and not self.stop_flag):
+                    time.sleep(0.0002)
+                    ring = self.get_ring()
+                yield blocks[i % 4]
+                i += 1
+
+        def stop(self):
+            self.stop_flag = True
+
+    src = _Src()
+    lr = LiveReceiver(rx, controls, src, waterfall_fft=1024,
+                      waterfall_lines=64, ring_seconds=1.0,
+                      ingest_dtype=np.int16)
+    src.get_ring = lambda: lr.ring
+    lr.start_producer()
+    lr.run_blocks(max_blocks=6)              # warm plain program
+    lr.metrics = type(lr.metrics)()
+    t0 = time.perf_counter()
+    n = lr.run_blocks(max_blocks=args.blocks)
+    plain = n * L / (time.perf_counter() - t0) / 1e6
+
+    import contextlib
+
+    def measure(tag):
+        lr.run_blocks(max_blocks=6)          # warm this config
+        lr.metrics = type(lr.metrics)()
+        t0 = time.perf_counter()
+        n = lr.run_blocks(max_blocks=args.blocks)
+        return round(n * L / (time.perf_counter() - t0) / 1e6, 2)
+
+    tmp = tempfile.mkdtemp()
+    # Interleaved A/B: the tunnel's wire rate drifts minute to minute,
+    # so each feature is normalized against the MEAN of its neighboring
+    # plain baselines, not one stale plain number.
+    res = {"plain": [round(plain, 2)]}
+
+    def with_feature(name, on, off):
+        on()
+        res[name] = measure(name)
+        off()
+        res["plain"].append(measure("plain"))
+
+    with_feature("zoom", lambda: lr.set_zoom(20e3, 500e3),
+                 lambda: lr.set_zoom(None))
+    with_feature("view", lambda: lr.set_demod_view(3),
+                 lambda: lr.set_demod_view(None))
+
+    def audio_on():
+        lr.set_recording(2, True, path=tmp + "/rec")
+        lr.set_audio_sink("sub", "null", demods=[0, 1])
+
+    def audio_off():
+        lr.set_recording(2, False)
+        lr.set_audio_sink("sub", None)
+
+    with_feature("audio", audio_on, audio_off)
+
+    def all_on():
+        lr.set_zoom(20e3, 500e3)
+        lr.set_demod_view(3)
+        audio_on()
+
+    with_feature("all", all_on, lambda: None)
+    ratios = {}
+    pl = res["plain"]
+    for i, name in enumerate(("zoom", "view", "audio", "all")):
+        base = (pl[i] + pl[i + 1]) / 2.0
+        ratios[name] = round(res[name] / base, 3)
+    inter = res["all"]
+    has_dv = lr.demod_spectrum is not None
+    has_zoom = lr.zoom is not None and lr.zoom.points is not None
+    snap = lr.metrics.snapshot()
+    lr.stop()
+    print(json.dumps({
+        "tag": "interactive_cost",
+        "platform": jax.devices()[0].platform, "block_len": L,
+        "msps": res, "ratio_vs_adjacent_plain": ratios,
+        "plain_msps": round(plain, 2),
+        "interactive_msps": round(inter, 2),
+        "interactive_over_plain": round(inter / plain, 3),
+        "dv_points_live": bool(has_dv), "zoom_points_live": bool(has_zoom),
+        "ring_dropped": int(snap.get("ingest", {}).get("dropped", 0)),
+        # Claims under test: the fused demod-view and row-selected audio
+        # packing cost ~nothing. The zoom view is reported transparently:
+        # it still runs as its own per-block dispatch (+1 execute RPC and
+        # 2 small pulls — noise on real hosts, visible on a ~30 ms-RPC
+        # tunnel); it no longer re-uploads the block (that fix is what
+        # the churn soak's 1.00x with zoom active already demonstrates).
+        "ok": bool(ratios["view"] > 0.9 and ratios["audio"] > 0.9
+                   and has_dv and has_zoom),
+    }), flush=True)
 
 
 if __name__ == "__main__":
